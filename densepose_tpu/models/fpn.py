@@ -1,0 +1,83 @@
+"""FPN (functional rebuild of /root/reference/detectron2/modeling/backbone/fpn.py).
+
+Lateral 1x1 + output 3x3 convs per level, top-down exact-2x nearest upsample
+with sum fusion (fpn.py:125-166), LastLevelMaxPool p6 (fpn.py:187-199).
+DensePose configs use norm="" (bias convs, no norm) and fuse_type="sum".
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax.numpy as jnp
+
+from ..checkpoint.spec import Spec, conv_spec
+from ..ops import conv2d, max_pool2d, upsample2x_nearest
+from .resnet import resnet_forward, resnet_spec
+
+
+# ResNet stage name -> log2 stride
+_STAGE_LOG2 = {"res2": 2, "res3": 3, "res4": 4, "res5": 5}
+
+
+def fpn_spec(cfg, prefix: str = "backbone") -> Spec:
+    spec = resnet_spec(cfg, prefix=f"{prefix}.bottom_up")
+    out_channels = cfg.MODEL.FPN.OUT_CHANNELS
+    norm = cfg.MODEL.FPN.NORM
+    use_bias = norm == ""
+    in_features = cfg.MODEL.FPN.IN_FEATURES
+    depth = cfg.MODEL.RESNETS.DEPTH
+    if depth >= 50:
+        ch = {"res2": 256, "res3": 512, "res4": 1024, "res5": 2048}
+    else:
+        ch = {"res2": 64, "res3": 128, "res4": 256, "res5": 512}
+    # scale RES2_OUT_CHANNELS overrides
+    base = cfg.MODEL.RESNETS.RES2_OUT_CHANNELS
+    if depth >= 50 and base != 256:
+        ch = {f: base * (2 ** (_STAGE_LOG2[f] - 2)) for f in ch}
+    for f in in_features:
+        stage = _STAGE_LOG2[f]
+        conv_spec(spec, f"{prefix}.fpn_lateral{stage}", ch[f], out_channels, 1,
+                  bias=use_bias, norm=norm or "")
+        conv_spec(spec, f"{prefix}.fpn_output{stage}", out_channels, out_channels, 3,
+                  bias=use_bias, norm=norm or "")
+    return spec
+
+
+def fpn_forward(
+    p: Dict,
+    x: jnp.ndarray,
+    cfg,
+    prefix: str = "backbone",
+) -> Dict[str, jnp.ndarray]:
+    """Returns {"p2": ..., "p6": ...} NHWC (or HWC) feature maps."""
+    in_features: List[str] = list(cfg.MODEL.FPN.IN_FEATURES)
+    bottom_up = resnet_forward(p, x, cfg, prefix=f"{prefix}.bottom_up",
+                               out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES))
+
+    results: Dict[str, jnp.ndarray] = {}
+    # top-down pass (highest stage first), fpn.py:144-166
+    prev = None
+    for f in reversed(in_features):
+        stage = _STAGE_LOG2[f]
+        lateral = conv2d(bottom_up[f], p[f"{prefix}.fpn_lateral{stage}.weight"],
+                         p.get(f"{prefix}.fpn_lateral{stage}.bias"))
+        if prev is not None:
+            lateral = lateral + upsample2x_nearest(prev)
+        prev = lateral
+        results[f"p{stage}"] = conv2d(
+            prev, p[f"{prefix}.fpn_output{stage}.weight"],
+            p.get(f"{prefix}.fpn_output{stage}.bias"), padding=1)
+
+    top_stage = _STAGE_LOG2[in_features[-1]]
+    results[f"p{top_stage + 1}"] = max_pool2d(
+        results[f"p{top_stage}"], kernel_size=1, stride=2)
+    return results
+
+
+def fpn_out_strides(cfg) -> Dict[str, int]:
+    in_features = cfg.MODEL.FPN.IN_FEATURES
+    strides = {f"p{_STAGE_LOG2[f]}": 2 ** _STAGE_LOG2[f] for f in in_features}
+    top = _STAGE_LOG2[in_features[-1]] + 1
+    strides[f"p{top}"] = 2 ** top
+    return strides

@@ -1,0 +1,130 @@
+"""Convolution / pooling / linear primitives in TPU-preferred layouts.
+
+All feature maps are NHWC (or HWC for the single-image pipeline) and all conv
+kernels are HWIO so XLA tiles them straight onto the MXU. Weight layout
+conversion from the checkpoints' torch OIHW happens once at load time
+(checkpoint/transform.py), never in the hot path.
+
+The reference wraps torch ``nn.Conv2d`` with optional fused norm+activation
+(detectron2/layers/wrappers.py:82-112); here conv is a pure function and the
+norm is either folded into the kernel (FrozenBN, the TPU-idiomatic move) or
+applied as a separate fused elementwise op.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    *,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Union[int, Tuple[int, int]] = 0,
+    dilation: Union[int, Tuple[int, int]] = 1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """2D conv, x: (N,H,W,C) or (H,W,C); w: (kh,kw,Cin/groups,Cout)."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dh, dw),
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y[0] if squeeze else y
+
+
+def conv_transpose2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    *,
+    stride: int = 2,
+    padding: int = 1,
+    kernel_size: Optional[int] = None,
+) -> jnp.ndarray:
+    """torch ``nn.ConvTranspose2d`` (used by the chart predictor's four
+    deconv heads, densepose predictors/chart.py:45-62).
+
+    ``w`` must already be in *forward-conv equivalent* form
+    (kh, kw, Cin, Cout) with spatially flipped taps — see
+    ``checkpoint/transform.py::convert_conv_transpose_weight``. The transpose
+    conv is then an input-dilated regular conv:
+        pad = kernel - 1 - padding,  lhs_dilation = stride
+    giving out = (in-1)*stride - 2*padding + kernel (torch formula).
+    """
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    k = kernel_size if kernel_size is not None else w.shape[0]
+    p = k - 1 - padding
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((p, p), (p, p)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=_DIMNUMS,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y[0] if squeeze else y
+
+
+def max_pool2d(
+    x: jnp.ndarray,
+    *,
+    kernel_size: int,
+    stride: int,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """torch ``F.max_pool2d`` (ResNet stem k3 s2 p1, resnet.py:352; FPN
+    LastLevelMaxPool k1 s2 p0, fpn.py:199). Padding uses -inf so padded
+    positions never win."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    if kernel_size == 1 and padding == 0:
+        y = x[:, ::stride, ::stride, :]
+    else:
+        neg = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+               else jnp.iinfo(x.dtype).min)
+        y = jax.lax.reduce_window(
+            x,
+            neg,
+            jax.lax.max,
+            window_dimensions=(1, kernel_size, kernel_size, 1),
+            window_strides=(1, stride, stride, 1),
+            padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+        )
+    return y[0] if squeeze else y
+
+
+def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Dense layer; w is stored pre-transposed as (in, out)."""
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y

@@ -1,0 +1,111 @@
+"""Fixed-shape non-maximum suppression for XLA.
+
+The reference calls torchvision's CUDA/C++ greedy NMS through
+``batched_nms`` (detectron2/layers/nms.py:9-21) with data-dependent output
+shapes. On TPU we need static shapes and no serial host loop, so greedy NMS
+is re-expressed as a *fixed-point iteration over a suppression matrix*:
+
+    keep[i] = valid[i] and not exists j<i (in score order):
+                  keep[j] and IoU(i, j) > thresh
+
+Iterating ``keep <- f(keep)`` from all-valid converges to exactly the greedy
+solution (each sweep finalizes at least one more prefix element; depth equals
+the longest suppression chain, typically < 10). Each sweep is one (K, K)
+masked any-reduce — pure VPU work, no serial dependency of length K.
+
+Matches torchvision ``nms`` semantics: score-descending order, IoU with
+``(x2-x1)*(y2-y1)`` areas, strict ``>`` threshold comparison, fp32 compute
+(the reference upcasts fp16 before NMS, nms.py:19-20).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import pairwise_iou
+
+_NEG = -1e30  # effective -inf that survives fp16/bf16 casts of scores
+
+
+def nms_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+) -> jnp.ndarray:
+    """Greedy NMS. boxes (K,4), scores (K,), valid (K,) bool.
+
+    Returns a bool keep-mask in the *original* index space. Ordering of the
+    survivors is recovered downstream by sorting on score (torchvision
+    returns indices score-sorted; all our consumers re-sort by score anyway).
+    """
+    k = boxes.shape[0]
+    boxes = boxes.astype(jnp.float32)
+    s = jnp.where(valid, scores.astype(jnp.float32), _NEG)
+
+    order = jnp.argsort(-s, stable=True)
+    b = boxes[order]
+    v = valid[order]
+
+    iou = pairwise_iou(b, b)
+    row = jnp.arange(k)[:, None]
+    col = jnp.arange(k)[None, :]
+    # j (earlier, higher score) can suppress i
+    suppress = (iou > iou_threshold) & (col < row) & v[None, :] & v[:, None]
+
+    def body(state):
+        keep, _ = state
+        new_keep = v & ~jnp.any(suppress & keep[None, :], axis=1)
+        return new_keep, keep
+
+    def cond(state):
+        keep, prev = state
+        return jnp.any(keep != prev)
+
+    keep0 = v
+    keep, _ = jax.lax.while_loop(cond, body, (body((keep0, ~keep0))[0], keep0))
+
+    # scatter back to original order
+    out = jnp.zeros((k,), dtype=bool).at[order].set(keep)
+    return out
+
+
+def batched_nms_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    idxs: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+) -> jnp.ndarray:
+    """Class-offset batched NMS (torchvision coordinates trick, used by the
+    reference via detectron2/layers/nms.py:9-21): boxes of different ``idxs``
+    never suppress each other. Implemented directly in the IoU mask instead
+    of coordinate offsets — exact, and free of the max-coordinate hazard."""
+    k = boxes.shape[0]
+    boxes = boxes.astype(jnp.float32)
+    s = jnp.where(valid, scores.astype(jnp.float32), _NEG)
+
+    order = jnp.argsort(-s, stable=True)
+    b = boxes[order]
+    v = valid[order]
+    c = idxs[order]
+
+    iou = pairwise_iou(b, b)
+    row = jnp.arange(k)[:, None]
+    col = jnp.arange(k)[None, :]
+    same_class = c[:, None] == c[None, :]
+    suppress = (iou > iou_threshold) & (col < row) & same_class & v[None, :] & v[:, None]
+
+    def body(state):
+        keep, _ = state
+        new_keep = v & ~jnp.any(suppress & keep[None, :], axis=1)
+        return new_keep, keep
+
+    def cond(state):
+        keep, prev = state
+        return jnp.any(keep != prev)
+
+    keep0 = v
+    keep, _ = jax.lax.while_loop(cond, body, (body((keep0, ~keep0))[0], keep0))
+    return jnp.zeros((k,), dtype=bool).at[order].set(keep)

@@ -1,0 +1,75 @@
+"""Normalization ops (inference only).
+
+FrozenBatchNorm2d (detectron2/layers/batch_norm.py:10-92) is an affine
+transform with fixed statistics. On TPU the idiomatic move is to fold it into
+the preceding conv's kernel+bias at load time (``fold_frozen_bn``); the
+unfolded ``frozen_batch_norm`` is kept for exact-parity validation.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def frozen_batch_norm(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    running_mean: jnp.ndarray,
+    running_var: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """x * scale + shift over the channel (last) axis; scale/shift computed in
+    fp32 then cast to x.dtype, mirroring batch_norm.py:44-51."""
+    scale = weight.astype(jnp.float32) / jnp.sqrt(running_var.astype(jnp.float32) + eps)
+    shift = bias.astype(jnp.float32) - running_mean.astype(jnp.float32) * scale
+    return x * scale.astype(x.dtype) + shift.astype(x.dtype)
+
+
+def fold_frozen_bn(
+    conv_w: np.ndarray,
+    conv_b,
+    bn_weight: np.ndarray,
+    bn_bias: np.ndarray,
+    bn_mean: np.ndarray,
+    bn_var: np.ndarray,
+    eps: float = 1e-5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fold FrozenBN into a conv. conv_w is HWIO (out = last axis).
+
+    Returns (w', b') with  conv(x, w') + b' == BN(conv(x, w) + b).
+    Computed in float64 on host for maximal weight fidelity.
+    """
+    scale = bn_weight.astype(np.float64) / np.sqrt(bn_var.astype(np.float64) + eps)
+    shift = bn_bias.astype(np.float64) - bn_mean.astype(np.float64) * scale
+    w = conv_w.astype(np.float64) * scale[None, None, None, :]
+    b = shift if conv_b is None else conv_b.astype(np.float64) * scale + shift
+    return w.astype(np.float32), b.astype(np.float32)
+
+
+def group_norm(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """torch ``nn.GroupNorm`` over channel-last x (..., H, W, C).
+
+    Used by the DeepLab head's ASPP and stacked convs (deeplab.py:88-145).
+    Statistics are computed per (group) across H, W and the group's channels,
+    in fp32.
+    """
+    *lead, h, w, c = x.shape
+    g = num_groups
+    xf = x.astype(jnp.float32).reshape(*lead, h, w, g, c // g)
+    axes = tuple(range(len(lead), len(lead) + 2)) + (len(lead) + 3,)
+    mean = xf.mean(axis=axes, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=axes, keepdims=True)
+    xf = (xf - mean) / jnp.sqrt(var + eps)
+    xf = xf.reshape(*lead, h, w, c)
+    y = xf * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)

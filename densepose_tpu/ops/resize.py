@@ -1,0 +1,99 @@
+"""Image/feature resizing with exact PyTorch ``F.interpolate`` semantics.
+
+The reference relies on torch's ``align_corners=False`` (half-pixel) bilinear
+resize in five places (SURVEY.md section 7.3): the preprocess resize
+(engine/defaults.py:87-89), FPN top-down upsample (nearest, fpn.py:152), the
+Decoder upsample (densepose roi_head.py:63), the chart predictor ``interp2d``
+(chart.py:62-74) and the ASPP pooling branch (deeplab.py:109).
+
+``jax.image.resize`` antialiases on downscale (torch does not), so we
+implement the torch sampling rule directly as two separable axis gathers with
+statically precomputed indices/weights — gathers are cheap on TPU and XLA
+fuses the lerp arithmetic.
+
+Source coordinate rule (align_corners=False):
+    src = (dst + 0.5) * ratio - 0.5,   clamped below at 0
+where ratio = 1/scale_factor when an explicit scale factor was given
+(torch uses the provided scale directly when ``recompute_scale_factor`` is
+unset), else H_in / H_out.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _axis_weights(in_size: int, out_size: int, scale: Optional[float]):
+    """Static (i0, i1, w0, w1) index/weight vectors for one axis."""
+    # torch computes source coordinates in float32 for float32 inputs;
+    # matching the dtype keeps weights bit-identical.
+    if scale is not None:
+        ratio = np.float32(1.0) / np.float32(scale)
+    else:
+        ratio = np.float32(in_size) / np.float32(out_size)
+    dst = np.arange(out_size, dtype=np.float32)
+    src = (dst + np.float32(0.5)) * ratio - np.float32(0.5)
+    src = np.maximum(src, 0.0)
+    i0 = np.floor(src).astype(np.int64)
+    i0 = np.minimum(i0, in_size - 1)
+    frac = src - i0
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    # torch: when i0 == in_size-1, i1 == i0 and the lerp degenerates to x[i0].
+    w1 = np.where(i1 > i0, frac, 0.0)
+    w0 = 1.0 - w1
+    return i0, i1, w0.astype(np.float32), w1.astype(np.float32)
+
+
+def resize_bilinear(
+    x: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    scale: Optional[Tuple[float, float]] = None,
+) -> jnp.ndarray:
+    """Bilinear resize of ``x`` with shape (..., H, W, C) to ``out_hw``.
+
+    ``scale`` — optional (scale_h, scale_w) when mirroring torch's
+    scale_factor mode (the coordinate ratio is then 1/scale, not H_in/H_out).
+    """
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out) and scale is None:
+        return x
+    dtype = x.dtype
+    sh, sw = (scale if scale is not None else (None, None))
+
+    i0, i1, w0, w1 = _axis_weights(h_in, h_out, sh)
+    xa = jnp.take(x, jnp.asarray(i0), axis=-3)
+    xb = jnp.take(x, jnp.asarray(i1), axis=-3)
+    w0 = jnp.asarray(w0, dtype=dtype)[:, None, None]
+    w1 = jnp.asarray(w1, dtype=dtype)[:, None, None]
+    x = xa * w0 + xb * w1
+
+    j0, j1, v0, v1 = _axis_weights(w_in, w_out, sw)
+    xa = jnp.take(x, jnp.asarray(j0), axis=-2)
+    xb = jnp.take(x, jnp.asarray(j1), axis=-2)
+    v0 = jnp.asarray(v0, dtype=dtype)[:, None]
+    v1 = jnp.asarray(v1, dtype=dtype)[:, None]
+    return xa * v0 + xb * v1
+
+
+def resize_nearest(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """torch mode="nearest": src = floor(dst * in/out), per axis."""
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = out_hw
+    iy = np.minimum((np.arange(h_out) * (h_in / h_out)).astype(np.int64), h_in - 1)
+    ix = np.minimum((np.arange(w_out) * (w_in / w_out)).astype(np.int64), w_in - 1)
+    x = jnp.take(x, jnp.asarray(iy), axis=-3)
+    x = jnp.take(x, jnp.asarray(ix), axis=-2)
+    return x
+
+
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x nearest upsample (FPN top-down path, fpn.py:152): each pixel
+    repeats 2x2. Implemented as repeat, which XLA lowers to a cheap
+    broadcast-reshape."""
+    x = jnp.repeat(x, 2, axis=-3)
+    x = jnp.repeat(x, 2, axis=-2)
+    return x

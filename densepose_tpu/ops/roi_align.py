@@ -1,0 +1,174 @@
+"""ROIAlign as a flattened multi-level gather — the TPU replacement for
+torchvision's CUDA kernel.
+
+Semantics follow torchvision ``roi_align`` exactly (the op the reference
+wraps at detectron2/layers/roi_align.py:7-74):
+
+* ``aligned=False`` ("ROIAlign" pooler type — what every shipped DensePose
+  config uses): no half-pixel shift, ROI width/height clamped to >= 1.
+* ``aligned=True`` ("ROIAlignV2"): coordinates shifted by -0.5.
+* bilinear sampling with the torchvision border rule: samples with
+  ``y < -1 or y > H`` contribute 0; otherwise coordinates clamp to
+  ``[0, H-1]`` and the 4-tap lerp runs with weights from the unclamped
+  fraction.
+* ``sampling_ratio > 0``: a static ratio x ratio sample grid per output bin,
+  averaged. (All shipped configs use 2 — conveniently static for XLA. The
+  adaptive ratio-0 mode is deliberately unsupported; the builder asserts.)
+
+Design: instead of the reference ROIPooler's boolean-indexed per-level
+dispatch (modeling/poolers.py:210-226, impossible under static shapes), all
+FPN levels are flattened into one (sum HW, C) array and each box gathers from
+its assigned level via a per-box base offset. One pass over all boxes, fixed
+shapes, 4*ratio^2 gathers total — XLA fuses the lerp arithmetic into the
+gather results. A Pallas kernel with per-box VMEM DMA is the planned upgrade
+path for the hot 28x28 DensePose pooler.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def assign_boxes_to_levels(
+    boxes: jnp.ndarray,
+    min_level: int,
+    max_level: int,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """FPN paper eqn (1); poolers.py:43-51. Returns level - min_level."""
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    sizes = jnp.sqrt(jnp.maximum(area.astype(jnp.float32), 0.0))
+    lvl = jnp.floor(
+        canonical_level + jnp.log2(sizes / canonical_box_size + 1e-8)
+    )
+    lvl = jnp.clip(lvl, min_level, max_level)
+    return lvl.astype(jnp.int32) - min_level
+
+
+def _axis_samples(start, bin_size, n_bins: int, grid: int, limit):
+    """Sample coordinates along one axis for every (bin, sub-sample).
+
+    start, bin_size, limit: (M,) per-box values. Returns
+    (coord (M, n_bins*grid), low_idx, high_idx, lerp, ok_mask)."""
+    p = np.arange(n_bins, dtype=np.float32)  # bin index
+    g = (np.arange(grid, dtype=np.float32) + 0.5) / grid  # sub-sample offset
+    # (n_bins, grid) static fractional bin positions
+    frac = (p[:, None] + g[None, :]).reshape(-1)  # n_bins*grid
+    coord = start[:, None] + bin_size[:, None] * jnp.asarray(frac)[None, :]
+
+    lim = limit[:, None].astype(jnp.float32)
+    ok = (coord >= -1.0) & (coord <= lim)
+    c = jnp.maximum(coord, 0.0)
+    low = jnp.floor(c)
+    # torchvision: if low >= H-1 -> low = high = H-1, lerp = 0
+    at_edge = low >= lim - 1.0
+    low = jnp.where(at_edge, lim - 1.0, low)
+    lerp = jnp.where(at_edge, 0.0, c - low)
+    high = jnp.where(at_edge, low, low + 1.0)
+    return low.astype(jnp.int32), high.astype(jnp.int32), lerp, ok
+
+
+def roi_align_multilevel(
+    feats: List[jnp.ndarray],
+    boxes: jnp.ndarray,
+    levels: jnp.ndarray,
+    scales: Sequence[float],
+    output_size: Tuple[int, int],
+    sampling_ratio: int,
+    aligned: bool,
+) -> jnp.ndarray:
+    """Pool each box from its assigned pyramid level.
+
+    feats: per-level (Hl, Wl, C) maps (single image); boxes: (M, 4) XYXY in
+    input-image coordinates; levels: (M,) int32 in [0, L). Returns
+    (M, out_h, out_w, C) in the feats dtype.
+    """
+    assert sampling_ratio > 0, (
+        "adaptive sampling_ratio=0 is not implemented; all reference DensePose "
+        "configs use POOLER_SAMPLING_RATIO=2")
+    out_h, out_w = output_size
+    g = sampling_ratio
+    c = feats[0].shape[-1]
+    dtype = feats[0].dtype
+
+    flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    hs = np.array([f.shape[0] for f in feats], dtype=np.int32)
+    ws = np.array([f.shape[1] for f in feats], dtype=np.int32)
+    offs = np.concatenate([[0], np.cumsum(hs.astype(np.int64) * ws)[:-1]]).astype(np.int32)
+    scales_arr = np.asarray(scales, dtype=np.float32)
+
+    h_b = jnp.asarray(hs)[levels]          # (M,)
+    w_b = jnp.asarray(ws)[levels]
+    off_b = jnp.asarray(offs)[levels]
+    scale_b = jnp.asarray(scales_arr)[levels]
+
+    boxes = boxes.astype(jnp.float32)
+    offset = 0.5 if aligned else 0.0
+    start_w = boxes[:, 0] * scale_b - offset
+    start_h = boxes[:, 1] * scale_b - offset
+    end_w = boxes[:, 2] * scale_b - offset
+    end_h = boxes[:, 3] * scale_b - offset
+    roi_w = end_w - start_w
+    roi_h = end_h - start_h
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    bin_h = roi_h / out_h
+    bin_w = roi_w / out_w
+
+    y_low, y_high, ly, y_ok = _axis_samples(start_h, bin_h, out_h, g, h_b)
+    x_low, x_high, lx, x_ok = _axis_samples(start_w, bin_w, out_w, g, w_b)
+
+    m = boxes.shape[0]
+    acc = jnp.zeros((m, out_h, out_w, c), dtype=jnp.float32)
+    w_row = w_b[:, None]  # (M, 1) row stride per box
+
+    # static loop over the g x g sub-sample grid; each iteration is 4 gathers
+    for iy in range(g):
+        yl = y_low[:, iy::g]       # (M, out_h)
+        yh = y_high[:, iy::g]
+        fy = ly[:, iy::g]
+        oky = y_ok[:, iy::g]
+        for ix in range(g):
+            xl = x_low[:, ix::g]   # (M, out_w)
+            xh = x_high[:, ix::g]
+            fx = lx[:, ix::g]
+            okx = x_ok[:, ix::g]
+
+            ok = (oky[:, :, None] & okx[:, None, :]).astype(jnp.float32)
+
+            def take(yi, xi):
+                idx = off_b[:, None, None] + yi[:, :, None] * w_row[:, :, None] + xi[:, None, :]
+                gathered = jnp.take(flat, idx.reshape(-1), axis=0)
+                return gathered.reshape(m, out_h, out_w, c).astype(jnp.float32)
+
+            w11 = ((1 - fy)[:, :, None] * (1 - fx)[:, None, :] * ok)[..., None]
+            w12 = ((1 - fy)[:, :, None] * fx[:, None, :] * ok)[..., None]
+            w21 = (fy[:, :, None] * (1 - fx)[:, None, :] * ok)[..., None]
+            w22 = (fy[:, :, None] * fx[:, None, :] * ok)[..., None]
+
+            acc = acc + take(yl, xl) * w11 + take(yl, xh) * w12 \
+                      + take(yh, xl) * w21 + take(yh, xh) * w22
+
+    acc = acc / float(g * g)
+    return acc.astype(dtype)
+
+
+def roi_align_single(
+    feat: jnp.ndarray,
+    boxes: jnp.ndarray,
+    scale: float,
+    output_size: Tuple[int, int],
+    sampling_ratio: int,
+    aligned: bool,
+) -> jnp.ndarray:
+    """Single-level ROIAlign (the Decoder-path DensePose pooler,
+    densepose roi_head.py:104-118 uses only the stride-4 map)."""
+    levels = jnp.zeros((boxes.shape[0],), dtype=jnp.int32)
+    return roi_align_multilevel(
+        [feat], boxes, levels, [scale], output_size, sampling_ratio, aligned
+    )

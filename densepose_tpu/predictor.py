@@ -1,0 +1,116 @@
+"""DensePosePredictor: the user-facing inference engine.
+
+Replaces the reference's ``DefaultPredictor`` + TorchScript artifact
+(engine/defaults.py:50-97): builds the model from a config, loads a
+detectron2 ``.pkl`` (or our ``.npz`` export) straight into a JAX pytree, and
+serves ``predictor(image_bgr_u8) -> outputs`` with an internal jit cache
+keyed by the static input-shape bucket.
+
+Differences by design (TPU-first):
+* one compile per (H0, W0) input shape; video streams hit a single entry,
+* compute dtype policy: float32 (parity), bfloat16 (TPU-fast) or float16
+  (mirrors the reference's --fp16 export; fp32 islands at box decode and
+  NMS match nms.py:19-20 / box_regression.py:84),
+* outputs are fixed-size arrays + ``num_instances``; ``numpy_outputs``
+  trims to the valid detections and transposes DensePose maps to the
+  reference's NCHW layout for drop-in host-side consumers.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint.pkl_loader import align_state_dicts, load_checkpoint_file
+from .checkpoint.transform import random_torch_state, torch_state_to_jax
+from .models.rcnn import GeneralizedRCNN, build_model
+
+logger = logging.getLogger(__name__)
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+
+def load_params(cfg, weights_path: Optional[str] = None, seed: int = 0,
+                model: Optional[GeneralizedRCNN] = None) -> Dict[str, np.ndarray]:
+    """cfg + checkpoint -> JAX-layout param dict (host numpy).
+
+    Follows the reference load stack (SURVEY.md section 3.4): pkl ->
+    (optional c2 rename) -> suffix alignment against the model's key set ->
+    layout transform (+FrozenBN folding per cfg.TPU.FOLD_FROZEN_BN).
+    """
+    model = model or build_model(cfg)
+    spec = model.spec()
+    if weights_path:
+        ckpt, needs_c2 = load_checkpoint_file(weights_path)
+        shapes = {k: v.shape for k, v in spec.items()}
+        torch_state = align_state_dicts(list(spec.keys()), shapes, ckpt, needs_c2)
+        matched = len(torch_state)
+        logger.info("checkpoint: matched %d/%d params", matched, len(spec))
+    else:
+        torch_state = random_torch_state(spec, seed=seed)
+    return torch_state_to_jax(torch_state, spec, fold_bn=cfg.TPU.FOLD_FROZEN_BN)
+
+
+class DensePosePredictor:
+    def __init__(self, cfg, weights_path: Optional[str] = None,
+                 params: Optional[Dict] = None, seed: int = 0):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.compute_dtype = _DTYPES[cfg.TPU.COMPUTE_DTYPE]
+        if params is None:
+            params = load_params(cfg, weights_path, seed=seed, model=self.model)
+        if self.compute_dtype != jnp.float32:
+            params = {k: self._cast_param(k, v) for k, v in params.items()}
+        self.params = jax.device_put(
+            {k: jnp.asarray(v) for k, v in params.items()})
+        self._jit_cache: Dict[Tuple[int, int], callable] = {}
+
+    def _cast_param(self, name: str, v: np.ndarray):
+        # Weights participating in MXU work go to the compute dtype; the fp32
+        # islands (box decode, NMS, softmax) upcast their inputs themselves.
+        if v.dtype == np.float32:
+            return np.asarray(v, dtype=jnp.dtype(self.compute_dtype))
+        return v
+
+    def _get_fn(self, shape_hw: Tuple[int, int]):
+        fn = self._jit_cache.get(shape_hw)
+        if fn is None:
+            fn = self.model.jit_forward(compute_dtype=self.compute_dtype)
+            self._jit_cache[shape_hw] = fn
+        return fn
+
+    def __call__(self, image_bgr_u8: np.ndarray) -> Dict[str, jnp.ndarray]:
+        """image: (H, W, 3) uint8 BGR (the run.py contract). Returns device
+        arrays (fixed-size slots + num_instances)."""
+        assert image_bgr_u8.ndim == 3 and image_bgr_u8.shape[2] == 3, image_bgr_u8.shape
+        h, w = image_bgr_u8.shape[:2]
+        fn = self._get_fn((h, w))
+        return fn(self.params, jnp.asarray(image_bgr_u8))
+
+    def predict_numpy(self, image_bgr_u8: np.ndarray) -> Dict[str, np.ndarray]:
+        return self.numpy_outputs(self(image_bgr_u8))
+
+    @staticmethod
+    def numpy_outputs(outputs: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
+        """Trim padded slots and convert DensePose maps to the reference's
+        NCHW layout (postprocessing.py:52-61 key set)."""
+        out = {k: np.asarray(v) for k, v in outputs.items()}
+        n = int(out.pop("num_instances"))
+        valid = out.pop("valid")
+        idx = np.nonzero(valid)[0]
+        result = {"image_size": out["image_size"], "num_instances": n}
+        for k in ("pred_boxes", "scores", "pred_classes"):
+            result[k] = out[k][idx]
+        for k in ("pred_densepose_coarse_segm", "pred_densepose_fine_segm",
+                  "pred_densepose_u", "pred_densepose_v"):
+            if k in out:
+                result[k] = np.transpose(out[k][idx], (0, 3, 1, 2))
+        return result

@@ -1,0 +1,169 @@
+"""Host-side result extraction + overlay rendering (numpy/cv2).
+
+Port of /root/reference/visualizer.py semantics to a torch-free host stage:
+
+* ``resample_fine`` (visualizer.py:10-17): bilinear-resize coarse+fine segm
+  logits to the box size, argmax, mask fine labels by coarse foreground,
+* ``resample_uv_tensors_to_bbox`` (:20-30): resize U/V and gather the
+  per-part value into a (2, h, w) UV map — the reference's 24-way python
+  loop becomes one vectorized take_along_axis,
+* ``MatrixVisualizer`` / fine-segmentation overlay (:59-139): VIRIDIS
+  colormap + alpha blend via cv2.
+
+The device produces fixed-size SIUV maps (N_slots, H, W, C NHWC) + a
+validity mask; this module consumes only the valid slots.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+    HAS_CV2 = True
+except Exception:  # pragma: no cover
+    cv2 = None
+    HAS_CV2 = False
+
+
+def _resize_bilinear_np(x: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """(H, W, C) float32 -> (h, w, C), torch align_corners=False semantics
+    (same rule as ops/resize.py, numpy edition for the host stage)."""
+    h_in, w_in = x.shape[:2]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+
+    def axis(in_size, out_size):
+        ratio = np.float32(in_size) / np.float32(out_size)
+        src = (np.arange(out_size, dtype=np.float32) + 0.5) * ratio - 0.5
+        src = np.maximum(src, 0.0)
+        i0 = np.minimum(np.floor(src).astype(np.int64), in_size - 1)
+        frac = src - i0
+        i1 = np.minimum(i0 + 1, in_size - 1)
+        w1 = np.where(i1 > i0, frac, 0.0).astype(np.float32)
+        return i0, i1, 1.0 - w1, w1
+
+    i0, i1, w0, w1 = axis(h_in, h_out)
+    x = x[i0] * w0[:, None, None] + x[i1] * w1[:, None, None]
+    j0, j1, v0, v1 = axis(w_in, w_out)
+    x = x[:, j0] * v0[:, None] + x[:, j1] * v1[:, None]
+    return x
+
+
+def resample_fine_and_uv(
+    coarse_segm: np.ndarray,
+    fine_segm: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    box_xywh,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """All inputs (H, W, C) float maps for ONE instance. Returns
+    (labels (h, w) int64, uv (2, h, w) float32) in box-sized pixels."""
+    x, y, w, h = [int(q) for q in box_xywh]
+    w = max(w, 1)
+    h = max(h, 1)
+    coarse = _resize_bilinear_np(coarse_segm.astype(np.float32), (h, w))
+    fine = _resize_bilinear_np(fine_segm.astype(np.float32), (h, w))
+    fg = coarse.argmax(-1) > 0
+    labels = fine.argmax(-1) * fg
+    u_box = _resize_bilinear_np(u.astype(np.float32), (h, w))
+    v_box = _resize_bilinear_np(v.astype(np.float32), (h, w))
+    lab = labels[..., None]
+    u_sel = np.take_along_axis(u_box, lab, axis=-1)[..., 0]
+    v_sel = np.take_along_axis(v_box, lab, axis=-1)[..., 0]
+    uv = np.stack([np.where(labels > 0, u_sel, 0.0),
+                   np.where(labels > 0, v_sel, 0.0)]).astype(np.float32)
+    return labels.astype(np.int64), uv
+
+
+class DensePoseResultExtractor:
+    """Turns a predictor output dict into per-instance (labels, uv) results +
+    XYWH boxes, like visualizer.py:47-56."""
+
+    def __call__(self, outputs: Dict[str, np.ndarray]):
+        n = int(outputs.get("num_instances", len(outputs["pred_boxes"])))
+        boxes_xyxy = np.asarray(outputs["pred_boxes"])[:n]
+        boxes_xywh = boxes_xyxy.copy()
+        boxes_xywh[:, 2:] -= boxes_xywh[:, :2]
+        results = []
+        for i in range(n):
+            labels, uv = resample_fine_and_uv(
+                np.asarray(outputs["pred_densepose_coarse_segm"][i]),
+                np.asarray(outputs["pred_densepose_fine_segm"][i]),
+                np.asarray(outputs["pred_densepose_u"][i]),
+                np.asarray(outputs["pred_densepose_v"][i]),
+                boxes_xywh[i],
+            )
+            results.append({"labels": labels, "uv": uv})
+        return results, boxes_xywh
+
+
+class MatrixVisualizer:
+    """Colormapped matrix overlay inside a bbox (visualizer.py:59-106)."""
+
+    def __init__(self, inplace=True, cmap=None, val_scale=1.0, alpha=0.7):
+        assert HAS_CV2, "cv2 required for visualization"
+        self.inplace = inplace
+        self.cmap = cv2.COLORMAP_VIRIDIS if cmap is None else cmap
+        self.val_scale = val_scale
+        self.alpha = alpha
+
+    def visualize(self, image_bgr, mask, matrix, bbox_xywh):
+        image_target = image_bgr if self.inplace else image_bgr * 0
+        x, y, w, h = [int(v) for v in bbox_xywh]
+        if w <= 0 or h <= 0:
+            return image_bgr
+        if (w != mask.shape[1]) or (h != mask.shape[0]):
+            mask = cv2.resize(mask, (w, h), cv2.INTER_NEAREST)
+        if (w != matrix.shape[1]) or (h != matrix.shape[0]):
+            matrix = cv2.resize(matrix, (w, h), cv2.INTER_LINEAR)
+        mask_bg = np.tile((mask == 0)[:, :, None], [1, 1, 3])
+        scaled = (matrix.astype(np.float32) * self.val_scale).clip(0, 255).astype(np.uint8)
+        vis = cv2.applyColorMap(scaled, self.cmap)
+        roi = image_target[y:y + h, x:x + w, :]
+        vis[mask_bg] = roi[mask_bg]
+        image_target[y:y + h, x:x + w, :] = roi * (1.0 - self.alpha) + vis * self.alpha
+        return image_target.astype(np.uint8)
+
+    def fill(self, image_bgr, val=0):
+        cm = cv2.applyColorMap(np.array(val, dtype=np.uint8), self.cmap).reshape((1, 1, 3))
+        image_bgr[:] = cm * self.alpha + image_bgr * (1.0 - self.alpha)
+
+
+class DensePoseResultsFineSegmentationVisualizer:
+    """Fine-segmentation (I channel) overlay (visualizer.py:113-131)."""
+
+    def __init__(self, inplace=True, cmap=None, alpha=0.7, val_scale=255 / 24.0,
+                 keep_bg=True):
+        self.mask_visualizer = MatrixVisualizer(inplace=inplace, cmap=cmap,
+                                                val_scale=val_scale, alpha=alpha)
+        self.keep_bg = keep_bg
+
+    def visualize(self, image_bgr: np.ndarray, results_and_boxes) -> np.ndarray:
+        results, boxes_xywh = results_and_boxes
+        if results is None or boxes_xywh is None:
+            return image_bgr
+        if not self.keep_bg:
+            self.mask_visualizer.fill(image_bgr, 0)
+        for res, box in zip(results, boxes_xywh):
+            iuv_i = res["labels"].astype(np.float32)
+            matrix = iuv_i.astype(np.uint8)
+            mask = (iuv_i > 0).astype(np.uint8)
+            self.mask_visualizer.visualize(image_bgr, mask, matrix, box)
+        return image_bgr
+
+
+class End2EndVisualizer:
+    """Extract + overlay, one call per frame (visualizer.py:132-139)."""
+
+    def __init__(self, alpha=0.7, cmap=None, keep_bg=True):
+        self.extractor = DensePoseResultExtractor()
+        self.visualizer = DensePoseResultsFineSegmentationVisualizer(
+            alpha=alpha, cmap=cmap, keep_bg=keep_bg)
+
+    def visualize(self, image_bgr: np.ndarray, outputs) -> np.ndarray:
+        data = self.extractor(outputs)
+        return self.visualizer.visualize(image_bgr, data)

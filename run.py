@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Run CLI — same contract as the reference's run.py
+(/root/reference/run.py): ``python run.py <model> <input.[jpg|mp4]>`` writes
+``<input>_pred.<ext>``.
+
+<model> is either an exported ``.npz`` bundle (export.py) or a YAML config
+path (with --weights for a raw .pkl; random weights otherwise — useful for
+smoke runs). Video is processed through the streaming pipeline
+(densepose_tpu/parallel/pipeline.py): decode-ahead on the host, device
+prefetch, optional multi-chip data-parallel frame sharding — replacing the
+reference's strictly serial loop (run.py:42-64). KeyboardInterrupt flushes
+the partial video like the reference does (run.py:58-62).
+"""
+
+import argparse
+import json
+import os
+import sys
+from itertools import count
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+IMAGE_EXTS = [".jpg", ".png", ".jpeg", ".bmp", ".tif", ".tiff"]
+
+
+def load_predictor(model_path: str, weights: str, fp32: bool, opts):
+    from densepose_tpu.config import CfgNode, get_cfg
+    from densepose_tpu.predictor import DensePosePredictor
+
+    cfg = get_cfg()
+    if model_path.endswith(".npz"):
+        with open(model_path + ".config.json") as f:
+            cfg.merge_from_other_cfg(CfgNode(json.load(f)))
+        if fp32:
+            cfg.TPU.COMPUTE_DTYPE = "float32"
+        if opts:
+            cfg.merge_from_list(opts)
+        cfg.freeze()
+        return DensePosePredictor(cfg, weights_path=model_path)
+    # YAML config path
+    cfg.merge_from_file(model_path)
+    if opts:
+        cfg.merge_from_list(opts)
+    cfg.freeze()
+    return DensePosePredictor(cfg, weights_path=weights or None)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Run DensePose inference on image/video")
+    parser.add_argument("model", type=str, help="Exported .npz bundle or config YAML")
+    parser.add_argument("input", type=str, help="Input image or video")
+    parser.add_argument("--weights", type=str, default="",
+                        help="Checkpoint .pkl (when <model> is a YAML config)")
+    parser.add_argument("--cpu", action="store_true", help="Force CPU backend")
+    parser.add_argument("--fp32", action="store_true", help="Force float32 compute")
+    parser.add_argument("--batch", type=int, default=0,
+                        help="Video frames per device batch (0 = auto)")
+    parser.add_argument("--opts", nargs="*", default=[],
+                        help="Extra dotted-key config overrides")
+    args = parser.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import cv2  # noqa: E402
+    from densepose_tpu.visualizer import End2EndVisualizer
+
+    visualizer = End2EndVisualizer(alpha=0.7, keep_bg=False)
+    predictor = load_predictor(args.model, args.weights, args.fp32, args.opts)
+
+    save_path = "_pred".join(os.path.splitext(args.input))
+    ext = os.path.splitext(args.input)[1].lower()
+    if ext in IMAGE_EXTS:
+        img = cv2.imread(args.input)
+        if img is None:
+            sys.exit(f"error: could not read image {args.input!r}")
+        outputs = predictor.predict_numpy(img)
+        image_vis = visualizer.visualize(img, outputs)
+        cv2.imwrite(save_path, image_vis)
+        print(f"Image saved to {save_path}")
+        return
+
+    from densepose_tpu.parallel.pipeline import run_video
+    run_video(predictor, visualizer, args.input, save_path, batch=args.batch)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,339 @@
+"""Golden-value tests of the op library against torch (CPU) and pure-numpy
+references. This is the layer-parity kit from SURVEY.md section 4 item 1."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from densepose_tpu import ops
+from tests.reference_ops import nms_np, roi_align_np
+
+
+RNG = np.random.RandomState(0)
+
+
+def t2n(t):
+    return t.detach().cpu().numpy()
+
+
+# ---------------------------------------------------------------------------
+# resize
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((17, 23), (9, 12)),
+    ((9, 12), (17, 23)),
+    ((56, 56), (112, 112)),
+    ((120, 160), (200, 267)),
+    ((4, 4), (8, 8)),
+])
+def test_resize_bilinear_size_mode(in_hw, out_hw):
+    x = RNG.randn(*in_hw, 3).astype(np.float32)
+    want = F.interpolate(
+        torch.from_numpy(x).permute(2, 0, 1)[None], size=out_hw,
+        mode="bilinear", align_corners=False,
+    )[0].permute(1, 2, 0)
+    got = ops.resize_bilinear(jnp.asarray(x), out_hw)
+    # small residual comes from torch's different lerp association order
+    np.testing.assert_allclose(np.asarray(got), t2n(want), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("in_hw,k", [
+    ((120, 160), 800 / 480),
+    ((180, 320), min(800 / 720, 1333 / 1280)),
+    ((135, 240), min(800 / 1080, 1333 / 1920)),
+])
+def test_resize_bilinear_scale_mode(in_hw, k):
+    """The preprocess resize uses an explicit scale factor
+    (engine/defaults.py:87-89) whose reciprocal is used directly as the
+    coordinate ratio."""
+    x = RNG.randn(*in_hw, 3).astype(np.float32)
+    want = F.interpolate(
+        torch.from_numpy(x).permute(2, 0, 1)[None], scale_factor=k,
+        mode="bilinear", align_corners=False,
+    )[0].permute(1, 2, 0)
+    out_hw = (int(in_hw[0] * k), int(in_hw[1] * k))
+    assert tuple(want.shape[:2]) == out_hw
+    got = ops.resize_bilinear(jnp.asarray(x), out_hw, scale=(k, k))
+    np.testing.assert_allclose(np.asarray(got), t2n(want), atol=2e-5, rtol=1e-4)
+
+
+def test_upsample2x_nearest():
+    x = RNG.randn(7, 9, 4).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(x).permute(2, 0, 1)[None],
+                         scale_factor=2.0, mode="nearest")[0].permute(1, 2, 0)
+    got = ops.upsample2x_nearest(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(got), t2n(want))
+
+
+def test_resize_bilinear_scale2_matches_interp2d():
+    """Chart predictor interp2d: scale_factor=2 bilinear (chart.py:62-74)."""
+    x = RNG.randn(56, 56, 25).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(x).permute(2, 0, 1)[None],
+                         scale_factor=2.0, mode="bilinear",
+                         align_corners=False)[0].permute(1, 2, 0)
+    got = ops.resize_bilinear(jnp.asarray(x), (112, 112), scale=(2.0, 2.0))
+    np.testing.assert_allclose(np.asarray(got), t2n(want), atol=2e-6, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# conv / pool / linear
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("cin,cout,k,stride,pad,dil", [
+    (8, 16, 3, 1, 1, 1),
+    (8, 16, 1, 2, 0, 1),
+    (16, 8, 7, 2, 3, 1),
+    (8, 8, 3, 1, 6, 6),   # ASPP dilated conv
+])
+def test_conv2d(cin, cout, k, stride, pad, dil):
+    x = RNG.randn(13, 17, cin).astype(np.float32)
+    w = (RNG.randn(cout, cin, k, k) * 0.1).astype(np.float32)
+    b = RNG.randn(cout).astype(np.float32)
+    want = F.conv2d(torch.from_numpy(x).permute(2, 0, 1)[None],
+                    torch.from_numpy(w), torch.from_numpy(b),
+                    stride=stride, padding=pad, dilation=dil)[0].permute(1, 2, 0)
+    w_hwio = np.transpose(w, (2, 3, 1, 0))
+    got = ops.conv2d(jnp.asarray(x), jnp.asarray(w_hwio), jnp.asarray(b),
+                     stride=stride, padding=pad, dilation=dil)
+    np.testing.assert_allclose(np.asarray(got), t2n(want), atol=2e-5, rtol=1e-4)
+
+
+def test_conv_transpose2d_k4s2p1():
+    """The chart predictor deconv config: kernel 4, stride 2, padding 1
+    (chart.py:45-62)."""
+    cin, cout = 12, 5
+    x = RNG.randn(14, 14, cin).astype(np.float32)
+    w = (RNG.randn(cin, cout, 4, 4) * 0.1).astype(np.float32)  # torch convT layout
+    b = RNG.randn(cout).astype(np.float32)
+    want = F.conv_transpose2d(torch.from_numpy(x).permute(2, 0, 1)[None],
+                              torch.from_numpy(w), torch.from_numpy(b),
+                              stride=2, padding=1)[0].permute(1, 2, 0)
+    # forward-conv equivalent kernel: flip taps, (Cin,Cout,kh,kw)->(kh,kw,Cin,Cout)
+    w_eq = np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy()
+    got = ops.conv_transpose2d(jnp.asarray(x), jnp.asarray(w_eq), jnp.asarray(b),
+                               stride=2, padding=1)
+    assert got.shape == (28, 28, cout)
+    np.testing.assert_allclose(np.asarray(got), t2n(want), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("hw", [(10, 14), (11, 15)])
+def test_max_pool_3x3s2p1(hw):
+    x = RNG.randn(*hw, 6).astype(np.float32)
+    want = F.max_pool2d(torch.from_numpy(x).permute(2, 0, 1)[None],
+                        kernel_size=3, stride=2, padding=1)[0].permute(1, 2, 0)
+    got = ops.max_pool2d(jnp.asarray(x), kernel_size=3, stride=2, padding=1)
+    np.testing.assert_array_equal(np.asarray(got), t2n(want))
+
+
+def test_max_pool_1x1s2():
+    x = RNG.randn(25, 34, 6).astype(np.float32)
+    want = F.max_pool2d(torch.from_numpy(x).permute(2, 0, 1)[None],
+                        kernel_size=1, stride=2, padding=0)[0].permute(1, 2, 0)
+    got = ops.max_pool2d(jnp.asarray(x), kernel_size=1, stride=2)
+    np.testing.assert_array_equal(np.asarray(got), t2n(want))
+
+
+def test_linear():
+    x = RNG.randn(5, 64).astype(np.float32)
+    w = RNG.randn(32, 64).astype(np.float32)
+    b = RNG.randn(32).astype(np.float32)
+    want = F.linear(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b))
+    got = ops.linear(jnp.asarray(x), jnp.asarray(w.T.copy()), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(got), t2n(want), atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# norms
+# ---------------------------------------------------------------------------
+
+def test_frozen_bn_matches_torch_batchnorm():
+    c = 9
+    x = RNG.randn(7, 8, c).astype(np.float32)
+    w = RNG.rand(c).astype(np.float32) + 0.5
+    b = RNG.randn(c).astype(np.float32)
+    rm = RNG.randn(c).astype(np.float32)
+    rv = RNG.rand(c).astype(np.float32) + 0.1
+    want = F.batch_norm(torch.from_numpy(x).permute(2, 0, 1)[None],
+                        torch.from_numpy(rm), torch.from_numpy(rv),
+                        torch.from_numpy(w), torch.from_numpy(b),
+                        training=False, eps=1e-5)[0].permute(1, 2, 0)
+    got = ops.frozen_batch_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                                jnp.asarray(rm), jnp.asarray(rv))
+    np.testing.assert_allclose(np.asarray(got), t2n(want), atol=1e-5, rtol=1e-5)
+
+
+def test_fold_frozen_bn_equivalence():
+    cin, cout = 6, 10
+    x = RNG.randn(9, 9, cin).astype(np.float32)
+    w = (RNG.randn(3, 3, cin, cout) * 0.2).astype(np.float32)
+    bnw = RNG.rand(cout).astype(np.float32) + 0.5
+    bnb = RNG.randn(cout).astype(np.float32)
+    rm = RNG.randn(cout).astype(np.float32)
+    rv = RNG.rand(cout).astype(np.float32) + 0.1
+    y_ref = ops.frozen_batch_norm(
+        ops.conv2d(jnp.asarray(x), jnp.asarray(w), padding=1),
+        jnp.asarray(bnw), jnp.asarray(bnb), jnp.asarray(rm), jnp.asarray(rv))
+    wf, bf = ops.fold_frozen_bn(w, None, bnw, bnb, rm, rv)
+    y_fold = ops.conv2d(jnp.asarray(x), jnp.asarray(wf), jnp.asarray(bf), padding=1)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref), atol=2e-5, rtol=1e-4)
+
+
+def test_group_norm():
+    c = 64
+    x = RNG.randn(5, 6, c).astype(np.float32)
+    w = RNG.randn(c).astype(np.float32)
+    b = RNG.randn(c).astype(np.float32)
+    gn = torch.nn.GroupNorm(32, c)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(w))
+        gn.bias.copy_(torch.from_numpy(b))
+    want = gn(torch.from_numpy(x).permute(2, 0, 1)[None])[0].permute(1, 2, 0)
+    got = ops.group_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), 32)
+    np.testing.assert_allclose(np.asarray(got), t2n(want), atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# boxes
+# ---------------------------------------------------------------------------
+
+def test_apply_deltas_matches_reference_formula():
+    k = 50
+    boxes = np.abs(RNG.randn(k, 4)).astype(np.float32) * 50
+    boxes[:, 2:] += boxes[:, :2] + 1.0
+    deltas = (RNG.randn(k, 4) * 2).astype(np.float32)
+    weights = (10.0, 10.0, 5.0, 5.0)
+
+    bt = torch.from_numpy(boxes)
+    dt = torch.from_numpy(deltas)
+    widths = bt[:, 2] - bt[:, 0]
+    heights = bt[:, 3] - bt[:, 1]
+    ctr_x = bt[:, 0] + 0.5 * widths
+    ctr_y = bt[:, 1] + 0.5 * heights
+    dx = dt[:, 0::4] / weights[0]
+    dy = dt[:, 1::4] / weights[1]
+    dw = torch.clamp(dt[:, 2::4] / weights[2], max=ops.boxes.DEFAULT_SCALE_CLAMP)
+    dh = torch.clamp(dt[:, 3::4] / weights[3], max=ops.boxes.DEFAULT_SCALE_CLAMP)
+    pcx = dx * widths[:, None] + ctr_x[:, None]
+    pcy = dy * heights[:, None] + ctr_y[:, None]
+    pw = torch.exp(dw) * widths[:, None]
+    ph = torch.exp(dh) * heights[:, None]
+    want = torch.stack((pcx - 0.5 * pw, pcy - 0.5 * ph,
+                        pcx + 0.5 * pw, pcy + 0.5 * ph), dim=-1).reshape(k, 4)
+
+    got = ops.apply_deltas(jnp.asarray(deltas), jnp.asarray(boxes), weights)
+    np.testing.assert_allclose(np.asarray(got), t2n(want), atol=1e-3, rtol=1e-5)
+
+
+def test_clip_boxes_convention():
+    boxes = jnp.asarray([[-5.0, -3.0, 900.0, 700.0]])
+    # (H, W) = (600, 800): x clamps to 800, y to 600
+    out = ops.clip_boxes(boxes, (600, 800))
+    np.testing.assert_array_equal(np.asarray(out), [[0.0, 0.0, 800.0, 600.0]])
+
+
+# ---------------------------------------------------------------------------
+# NMS
+# ---------------------------------------------------------------------------
+
+def _random_boxes(k, spread=100.0):
+    ctr = RNG.rand(k, 2).astype(np.float32) * spread
+    wh = RNG.rand(k, 2).astype(np.float32) * 40 + 1
+    return np.concatenate([ctr - wh / 2, ctr + wh / 2], axis=1)
+
+
+@pytest.mark.parametrize("k,thresh,spread", [
+    (64, 0.5, 100.0),
+    (128, 0.7, 60.0),   # heavy overlap -> long suppression chains
+    (256, 0.3, 400.0),
+    (33, 0.5, 20.0),    # extreme overlap
+])
+def test_nms_matches_greedy(k, thresh, spread):
+    boxes = _random_boxes(k, spread)
+    scores = RNG.rand(k).astype(np.float32)
+    want_keep = set(nms_np(boxes, scores, thresh).tolist())
+    got = ops.nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                       jnp.ones(k, dtype=bool), thresh)
+    got_keep = set(np.nonzero(np.asarray(got))[0].tolist())
+    assert got_keep == want_keep
+
+
+def test_nms_respects_valid_mask():
+    boxes = _random_boxes(32)
+    scores = RNG.rand(32).astype(np.float32)
+    valid = np.zeros(32, dtype=bool)
+    valid[:10] = True
+    got = np.asarray(ops.nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                  jnp.asarray(valid), 0.5))
+    assert not got[10:].any()
+    want_keep = set(nms_np(boxes[:10], scores[:10], 0.5).tolist())
+    assert set(np.nonzero(got[:10])[0].tolist()) == want_keep
+
+
+def test_batched_nms_is_per_class():
+    boxes = np.tile(_random_boxes(16), (2, 1))
+    scores = RNG.rand(32).astype(np.float32)
+    idxs = np.repeat(np.array([0, 1]), 16)
+    got = np.asarray(ops.batched_nms_mask(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(idxs),
+        jnp.ones(32, dtype=bool), 0.5))
+    for cls in (0, 1):
+        sel = idxs == cls
+        want = set(nms_np(boxes[sel], scores[sel], 0.5).tolist())
+        assert set(np.nonzero(got[sel])[0].tolist()) == want
+
+
+# ---------------------------------------------------------------------------
+# ROIAlign
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("aligned", [False, True])
+@pytest.mark.parametrize("out_size,ratio", [((7, 7), 2), ((14, 14), 2), ((5, 5), 1)])
+def test_roi_align_single_level(aligned, out_size, ratio):
+    feat = RNG.randn(24, 32, 8).astype(np.float32)
+    boxes = np.array([
+        [4.0, 4.0, 60.0, 40.0],
+        [0.0, 0.0, 128.0, 96.0],
+        [10.5, 7.25, 30.0, 22.5],
+        [100.0, 80.0, 120.0, 95.0],   # partially outside
+        [2.0, 2.0, 3.0, 3.0],         # tiny
+    ], dtype=np.float32)
+    scale = 0.25
+    want = roi_align_np(feat, boxes, scale, out_size, ratio, aligned)
+    got = ops.roi_align_single(jnp.asarray(feat), jnp.asarray(boxes), scale,
+                               out_size, ratio, aligned)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
+
+
+def test_roi_align_multilevel_matches_per_level():
+    feats = [RNG.randn(32, 48, 4).astype(np.float32),
+             RNG.randn(16, 24, 4).astype(np.float32),
+             RNG.randn(8, 12, 4).astype(np.float32)]
+    scales = [0.25, 0.125, 0.0625]
+    boxes = np.array([
+        [4.0, 4.0, 68.0, 60.0],
+        [0.0, 0.0, 180.0, 120.0],
+        [8.0, 8.0, 40.0, 30.0],
+    ], dtype=np.float32)
+    levels = np.array([1, 2, 0], dtype=np.int32)
+    got = ops.roi_align_multilevel(
+        [jnp.asarray(f) for f in feats], jnp.asarray(boxes),
+        jnp.asarray(levels), scales, (7, 7), 2, False)
+    for i, lvl in enumerate(levels):
+        want = roi_align_np(feats[lvl], boxes[i:i + 1], scales[lvl], (7, 7), 2, False)
+        np.testing.assert_allclose(np.asarray(got[i]), want[0], atol=1e-4, rtol=1e-4)
+
+
+def test_assign_boxes_to_levels():
+    # canonical 224 box -> level 4; tiny box -> clamps to min
+    boxes = jnp.asarray([
+        [0.0, 0.0, 224.0, 224.0],
+        [0.0, 0.0, 4.0, 4.0],
+        [0.0, 0.0, 2000.0, 2000.0],
+        [0.0, 0.0, 112.0, 112.0],
+    ])
+    lvls = np.asarray(ops.roi_align.assign_boxes_to_levels(boxes, 2, 5))
+    np.testing.assert_array_equal(lvls, [2, 0, 3, 1])
