@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark: densepose_rcnn_R_50_FPN_s1x at 800px, single chip.
+
+Prints ONE JSON line:
+    {"metric": "frames_per_sec_per_chip", "value": N, "unit": "fps",
+     "vs_baseline": N / 15.15}
+
+Baseline: the reference reports 0.066 s/im (~15.15 fps) for R_50_FPN_s1x on
+the detectron2 zoo GPU (BASELINE.md / README.md:129). The BASELINE.json
+north-star target is >= 30 fps/chip on v5e.
+
+Setup mirrors the serving configuration: bfloat16 compute (fp32 islands at
+box decode / NMS / softmax as in the reference's fp16 export), FrozenBN
+folded, static worst-case shapes (full 1000-proposal box stage and all
+TEST.DETECTIONS_PER_IMAGE DensePose slots every frame — unlike the
+reference, throughput does not degrade on crowded frames). Input is a
+720x1280 frame -> resized to 749x1333 -> padded 768x1344.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_FPS = 1.0 / 0.066  # R_50_FPN_s1x, BASELINE.md
+
+
+def main():
+    import numpy as np
+
+    from densepose_tpu.config import load_config, get_cfg
+    from densepose_tpu.predictor import DensePosePredictor
+
+    cfg_path = "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml"
+    opts = [
+        "MODEL.ROI_HEADS.SCORE_THRESH_TEST", "0.3",
+        "TPU.COMPUTE_DTYPE", os.environ.get("BENCH_DTYPE", "bfloat16"),
+    ]
+    cfg = load_config(cfg_path, opts)
+
+    pred = DensePosePredictor(cfg, seed=0)
+    frame = (np.random.RandomState(0).rand(720, 1280, 3) * 255).astype(np.uint8)
+
+    # warmup (compile + cache)
+    out = pred(frame)
+    out["pred_boxes"].block_until_ready()
+    for _ in range(3):
+        out = pred(frame)
+    out["pred_boxes"].block_until_ready()
+
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    lat = []
+    t_all0 = time.perf_counter()
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = pred(frame)
+        out["pred_boxes"].block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    t_all = time.perf_counter() - t_all0
+
+    fps = iters / t_all
+    p50 = sorted(lat)[len(lat) // 2]
+    result = {
+        "metric": "frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / REFERENCE_FPS, 3),
+    }
+    print(json.dumps(result))
+    print(f"# p50 latency: {p50 * 1e3:.1f} ms; input 720x1280 -> 768x1344; "
+          f"dtype={cfg.TPU.COMPUTE_DTYPE}; detections_slots={cfg.TEST.DETECTIONS_PER_IMAGE}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

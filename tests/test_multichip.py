@@ -1,0 +1,70 @@
+"""Multi-chip invariance (SURVEY.md section 4 item 4): N-chip data-parallel
+batched output must equal single-device per-frame output, frame for frame."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from densepose_tpu.config import load_config
+from densepose_tpu.models.rcnn import build_model
+from densepose_tpu.parallel.mesh import data_parallel_forward, make_mesh
+from densepose_tpu.predictor import load_params
+
+CFG = "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml"
+
+TINY_OPTS = [
+    "INPUT.MIN_SIZE_TEST", "64",
+    "INPUT.MAX_SIZE_TEST", "128",
+    "MODEL.RPN.PRE_NMS_TOPK_TEST", "100",
+    "MODEL.RPN.POST_NMS_TOPK_TEST", "50",
+    "TEST.DETECTIONS_PER_IMAGE", "4",
+    "MODEL.ROI_HEADS.SCORE_THRESH_TEST", "0.05",
+]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = load_config(CFG, TINY_OPTS)
+    model = build_model(cfg)
+    params = {k: jnp.asarray(v) for k, v in load_params(cfg, None, seed=0).items()}
+    return cfg, model, params
+
+
+def test_dp_sharded_equals_per_frame(setup):
+    cfg, model, params = setup
+    n = len(jax.devices())
+    assert n == 8, f"expected 8 virtual CPU devices, got {n}"
+
+    frames = (np.random.RandomState(0).rand(n, 48, 64, 3) * 255).astype(np.uint8)
+
+    mesh = make_mesh(n)
+    fwd = data_parallel_forward(model, mesh)
+    batched = fwd(params, jnp.asarray(frames))
+
+    single = jax.jit(model.forward)
+    for i in range(0, n, 3):  # sample a few frames
+        ref = single(params, jnp.asarray(frames[i]))
+        np.testing.assert_allclose(np.asarray(batched["pred_boxes"][i]),
+                                   np.asarray(ref["pred_boxes"]), atol=1e-4, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(batched["valid"][i]),
+                                      np.asarray(ref["valid"]))
+        # batched-vs-single compiles fuse convs differently; tiny float
+        # reassociation noise is expected
+        np.testing.assert_allclose(np.asarray(batched["pred_densepose_u"][i]),
+                                   np.asarray(ref["pred_densepose_u"]),
+                                   atol=2e-3, rtol=1e-2)
+
+
+def test_dp_output_sharding(setup):
+    """Outputs stay sharded across the data axis (no implicit full gather)."""
+    cfg, model, params = setup
+    n = len(jax.devices())
+    frames = (np.random.RandomState(1).rand(n, 48, 64, 3) * 255).astype(np.uint8)
+    mesh = make_mesh(n)
+    fwd = data_parallel_forward(model, mesh)
+    out = fwd(params, jnp.asarray(frames))
+    sharding = out["pred_densepose_u"].sharding
+    # batch axis is sharded over the mesh
+    assert not sharding.is_fully_replicated
