@@ -453,6 +453,13 @@ def _detectron2_defaults() -> CfgNode:
     _C.TPU.COMPUTE_DTYPE = "float32"
     # Fold FrozenBN affine transforms into the preceding conv at load time.
     _C.TPU.FOLD_FROZEN_BN = True
+    # Two-stage dispatch: run the DensePose stage on a detection-count bucket
+    # (8/16/32/64/...) instead of all TEST.DETECTIONS_PER_IMAGE slots. Saves
+    # most of the worst-case DensePose FLOPs on sparse frames but costs one
+    # device->host sync per frame — a win on locally-attached TPUs, a loss
+    # over high-latency device tunnels. Default off (the monolithic graph is
+    # already past the throughput target at worst-case shapes).
+    _C.TPU.BUCKETED_DENSEPOSE = False
     return _C
 
 

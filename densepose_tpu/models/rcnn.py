@@ -33,11 +33,21 @@ import numpy as np
 
 from ..checkpoint.spec import Spec
 from ..ops import clip_boxes, nonempty_boxes, resize_bilinear
-from .fpn import fpn_forward, fpn_spec
+from .backbones import backbone_fns
 from .roi_heads import roi_heads_forward, roi_heads_spec
 from .rpn import rpn_forward, rpn_spec
 
 SIZE_DIVISIBILITY = 32  # FPN max stride (fpn.py:116)
+
+
+def size_divisibility(cfg) -> int:
+    """FPN: 32 (fpn.py:116). HRFPN: 64 — its stride-64 pyramid level is
+    consumed by the Decoder, so exact size relations must hold through the
+    avg-pool pyramid (the floor there would otherwise desync the decoder's
+    2x-upsample chain)."""
+    if cfg.MODEL.BACKBONE.NAME == "build_hrfpn_backbone":
+        return 64
+    return SIZE_DIVISIBILITY
 
 
 def build_model(cfg) -> "GeneralizedRCNN":
@@ -73,7 +83,8 @@ class GeneralizedRCNN:
 
     # -- spec ---------------------------------------------------------------
     def spec(self) -> Spec:
-        spec = fpn_spec(self.cfg)
+        bb_spec, _, _ = backbone_fns(self.cfg)
+        spec = bb_spec(self.cfg)
         spec.update(rpn_spec(self.cfg))
         spec.update(roi_heads_spec(self.cfg))
         return spec
@@ -85,7 +96,7 @@ class GeneralizedRCNN:
         (h1, w1) resized size, (Hp, Wp))."""
         h0, w0 = orig_hw
         k, h1, w1 = compute_resize(h0, w0, self.min_size, self.max_size)
-        hp, wp = pad_to_divisible(h1, w1)
+        hp, wp = pad_to_divisible(h1, w1, size_divisibility(self.cfg))
 
         x = image_u8.astype(jnp.float32)
         if self.input_format == "RGB":
@@ -98,39 +109,58 @@ class GeneralizedRCNN:
         x = jnp.pad(x, ((0, hp - h1), (0, wp - w1), (0, 0)))
         return x.astype(compute_dtype), (h1, w1), (hp, wp)
 
-    def forward(self, params: Dict, image_u8: jnp.ndarray,
-                compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
-        """Full single-image inference. image_u8 shape is static per compile."""
+    def forward_stage1(self, params: Dict, image_u8: jnp.ndarray,
+                       compute_dtype=jnp.float32):
+        """Preprocess -> backbone -> RPN -> box stage -> box postprocess.
+        Returns (result dict without densepose, features, boxes_net) where
+        ``boxes_net`` are the detection boxes in network (resized) coords used
+        by the DensePose pooler."""
+        from .roi_heads import box_stage_forward
         cfg = self.cfg
         h0, w0 = image_u8.shape[0], image_u8.shape[1]
         x, (h1, w1), (hp, wp) = self.preprocess(image_u8, (h0, w0), compute_dtype)
 
-        features = fpn_forward(params, x, cfg)
+        _, bb_forward, _ = backbone_fns(cfg)
+        features = bb_forward(params, x, cfg)
         proposals, obj_logits, pvalid = rpn_forward(params, features, (hp, wp), cfg)
-        out = roi_heads_forward(params, features, proposals, pvalid, cfg)
+        boxes_net, scores, classes, dvalid = box_stage_forward(
+            params, features, proposals, pvalid, cfg)
 
-        # detector_postprocess (postprocessing.py:11-61): image_size stored as
-        # (W, H) == padded size; scales divide out the padding
+        # detector_postprocess (postprocessing.py:11-61): rescale to the
+        # original resolution, drop empty, clip with correct (H, W) order
         scale_x = w0 / w1
         scale_y = h0 / h1
-        boxes = out["pred_boxes"]
-        boxes = boxes * jnp.asarray([scale_x, scale_y, scale_x, scale_y], jnp.float32)
+        boxes = boxes_net * jnp.asarray([scale_x, scale_y, scale_x, scale_y], jnp.float32)
         keep = nonempty_boxes(boxes)
-        valid = out["valid"] & keep
+        valid = dvalid & keep
         boxes = clip_boxes(boxes, (h0, w0))
 
         result = {
             "image_size": jnp.asarray([h0, w0], jnp.int32),
             "pred_boxes": boxes,
-            "scores": out["scores"],
-            "pred_classes": out["pred_classes"],
+            "scores": scores,
+            "pred_classes": classes,
             "valid": valid,
             "num_instances": valid.sum().astype(jnp.int32),
         }
-        for key in ("pred_densepose_coarse_segm", "pred_densepose_fine_segm",
-                    "pred_densepose_u", "pred_densepose_v"):
-            if key in out:
-                result[key] = out[key]
+        return result, features, boxes_net
+
+    def forward_densepose(self, params: Dict, features: Dict,
+                          boxes_net: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """DensePose stage on given network-coordinate boxes (any count —
+        the predictor buckets this for latency)."""
+        from .roi_heads import densepose_stage_forward
+        dp = densepose_stage_forward(params, features, boxes_net, self.cfg)
+        return {f"pred_densepose_{k}": v for k, v in dp.items()}
+
+    def forward(self, params: Dict, image_u8: jnp.ndarray,
+                compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+        """Full single-image inference (monolithic graph; the bucketed
+        two-stage path lives in predictor.DensePosePredictor)."""
+        result, features, boxes_net = self.forward_stage1(
+            params, image_u8, compute_dtype)
+        if self.cfg.MODEL.DENSEPOSE_ON:
+            result.update(self.forward_densepose(params, features, boxes_net))
         return result
 
     # -- jit entry ----------------------------------------------------------

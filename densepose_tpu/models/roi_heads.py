@@ -40,16 +40,27 @@ from ..ops.roi_align import assign_boxes_to_levels
 
 _NEG = -1e30
 
-_STRIDES = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
+
+def feature_strides(cfg) -> Dict[str, int]:
+    """Feature-name -> stride map from the configured backbone (FPN: p2..p6
+    strides 4..64; HRFPN: p1..p5 strides 4..64)."""
+    from .backbones import backbone_fns
+    return backbone_fns(cfg)[2](cfg)
 
 
 # ---------------------------------------------------------------------------
 # specs
 # ---------------------------------------------------------------------------
 
+def _backbone_out_channels(cfg) -> int:
+    if cfg.MODEL.BACKBONE.NAME == "build_hrfpn_backbone":
+        return cfg.MODEL.HRNET.HRFPN.OUT_CHANNELS
+    return cfg.MODEL.FPN.OUT_CHANNELS
+
+
 def box_head_spec(cfg, prefix: str = "roi_heads") -> Spec:
     spec: Spec = {}
-    in_ch = cfg.MODEL.FPN.OUT_CHANNELS
+    in_ch = _backbone_out_channels(cfg)
     res = cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION
     num_fc = cfg.MODEL.ROI_BOX_HEAD.NUM_FC
     fc_dim = cfg.MODEL.ROI_BOX_HEAD.FC_DIM
@@ -80,9 +91,10 @@ def decoder_spec(cfg, prefix: str = "roi_heads.decoder") -> Spec:
     num_classes = cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_NUM_CLASSES
     common_stride = cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_COMMON_STRIDE
     norm = cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_NORM
-    in_ch = cfg.MODEL.FPN.OUT_CHANNELS
+    in_ch = _backbone_out_channels(cfg)
+    strides = feature_strides(cfg)
     for f in in_features:
-        stride = _STRIDES[f]
+        stride = strides[f]
         length = max(1, int(math.log2(stride) - math.log2(common_stride)))
         has_up = stride != common_stride
         for k in range(length):
@@ -100,7 +112,7 @@ def densepose_head_spec(cfg, prefix: str = "roi_heads.densepose_head") -> Spec:
     n_convs = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
     in_ch = (cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_NUM_CLASSES
              if cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_ON
-             else cfg.MODEL.FPN.OUT_CHANNELS)
+             else _backbone_out_channels(cfg))
     spec: Spec = {}
     if name == "DensePoseV1ConvXHead":
         d = in_ch
@@ -135,6 +147,9 @@ def densepose_head_spec(cfg, prefix: str = "roi_heads.densepose_head") -> Spec:
 
 
 def densepose_predictor_spec(cfg, prefix: str = "roi_heads.densepose_predictor") -> Spec:
+    if cfg.MODEL.ROI_DENSEPOSE_HEAD.PREDICTOR_NAME == "DensePoseEmbeddingPredictor":
+        from .cse import embedding_predictor_spec
+        return embedding_predictor_spec(cfg, prefix)
     dim_in = cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_DIM
     n_segm = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_COARSE_SEGM_CHANNELS
     patches = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_PATCHES + 1
@@ -166,6 +181,9 @@ def roi_heads_spec(cfg, prefix: str = "roi_heads") -> Spec:
             spec.update(decoder_spec(cfg, f"{prefix}.decoder"))
         spec.update(densepose_head_spec(cfg, f"{prefix}.densepose_head"))
         spec.update(densepose_predictor_spec(cfg, f"{prefix}.densepose_predictor"))
+        if cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDERS:
+            from .cse import embedder_spec
+            spec.update(embedder_spec(cfg, f"{prefix}.embedder"))
     return spec
 
 
@@ -197,8 +215,9 @@ def box_stage_forward(
     topk = cfg.TEST.DETECTIONS_PER_IMAGE
     weights = tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS)
 
+    strides = feature_strides(cfg)
     feats = [features[f] for f in in_features]
-    scales = [1.0 / _STRIDES[f] for f in in_features]
+    scales = [1.0 / strides[f] for f in in_features]
     min_lvl = int(-math.log2(scales[0]))
     max_lvl = int(-math.log2(scales[-1]))
     levels = assign_boxes_to_levels(proposals, min_lvl, max_lvl)
@@ -274,9 +293,10 @@ def decoder_forward(
     then a 1x1 predictor (densepose roi_head.py:71-79)."""
     in_features: List[str] = list(cfg.MODEL.ROI_HEADS.IN_FEATURES)
     common_stride = cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_COMMON_STRIDE
+    strides = feature_strides(cfg)
     acc = None
     for f in in_features:
-        stride = _STRIDES[f]
+        stride = strides[f]
         length = max(1, int(math.log2(stride) - math.log2(common_stride)))
         has_up = stride != common_stride
         x = features[f]
@@ -361,7 +381,11 @@ def densepose_predictor_forward(
     prefix: str = "roi_heads.densepose_predictor",
 ) -> Dict[str, jnp.ndarray]:
     """4 deconv heads + 2x bilinear upsample -> SIUV maps (chart.py:76-90),
-    NHWC: (N, Hout, Wout, C)."""
+    NHWC: (N, Hout, Wout, C). CSE configs dispatch to the embedding
+    predictor (models/cse.py)."""
+    if cfg.MODEL.ROI_DENSEPOSE_HEAD.PREDICTOR_NAME == "DensePoseEmbeddingPredictor":
+        from .cse import embedding_predictor_forward
+        return embedding_predictor_forward(p, x, cfg, prefix)
     k = cfg.MODEL.ROI_DENSEPOSE_HEAD.DECONV_KERNEL
     up = float(cfg.MODEL.ROI_DENSEPOSE_HEAD.UP_SCALE)
     pad = int(k / 2 - 1)
@@ -394,14 +418,15 @@ def densepose_stage_forward(
     sampling = cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_SAMPLING_RATIO
     aligned = cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_TYPE == "ROIAlignV2"
     use_decoder = cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_ON
+    strides = feature_strides(cfg)
 
     if use_decoder:
         sem = decoder_forward(p, features, cfg, f"{prefix}.decoder")
-        scale = 1.0 / _STRIDES[in_features[0]]
+        scale = 1.0 / strides[in_features[0]]
         pooled = roi_align_single(sem, boxes, scale, (res, res), sampling, aligned)
     else:
         feats = [features[f] for f in in_features]
-        scales = [1.0 / _STRIDES[f] for f in in_features]
+        scales = [1.0 / strides[f] for f in in_features]
         min_lvl = int(-math.log2(scales[0]))
         max_lvl = int(-math.log2(scales[-1]))
         levels = assign_boxes_to_levels(boxes, min_lvl, max_lvl)

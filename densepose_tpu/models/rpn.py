@@ -42,7 +42,8 @@ def num_cell_anchors(cfg) -> int:
 
 
 def rpn_spec(cfg, prefix: str = "proposal_generator.rpn_head") -> Spec:
-    in_channels = cfg.MODEL.FPN.OUT_CHANNELS
+    from .roi_heads import _backbone_out_channels
+    in_channels = _backbone_out_channels(cfg)
     a = num_cell_anchors(cfg)
     spec: Spec = {}
     conv_spec(spec, f"{prefix}.conv", in_channels, in_channels, 3, bias=True)
@@ -72,9 +73,10 @@ def rpn_forward(
     weights = tuple(cfg.MODEL.RPN.BBOX_REG_WEIGHTS)
     h_pad, w_pad = image_size_hw
 
+    from .roi_heads import feature_strides
+    strides_map = feature_strides(cfg)
     feats = [features[f] for f in in_features]
     grid_sizes = [(f.shape[-3], f.shape[-2]) for f in feats]
-    strides_map = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
     strides = [strides_map[f] for f in in_features]
     anchors = anchors_for_levels(
         grid_sizes, strides,

@@ -93,6 +93,24 @@ def apply_deltas(
     return pred.reshape(orig_shape)
 
 
+def scale_boxes(boxes: jnp.ndarray, scale_x, scale_y) -> jnp.ndarray:
+    """structures.py:132-140 (functional, not in-place)."""
+    return boxes * jnp.asarray([scale_x, scale_y, scale_x, scale_y],
+                               dtype=boxes.dtype)
+
+
+def matched_pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise IoU of two equal-length box sets (structures.py:8-31)."""
+    area_a = boxes_area(a)
+    area_b = boxes_area(b)
+    lt = jnp.maximum(a[:, :2], b[:, :2])
+    rb = jnp.minimum(a[:, 2:], b[:, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[:, 0] * wh[:, 1]
+    union = area_a + area_b - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
 def pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(M, 4) x (N, 4) -> (M, N) IoU, torchvision box_iou convention
     (area = (x2-x1)*(y2-y1), no +1)."""

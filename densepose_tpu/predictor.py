@@ -72,6 +72,11 @@ class DensePosePredictor:
         self.params = jax.device_put(
             {k: jnp.asarray(v) for k, v in params.items()})
         self._jit_cache: Dict[Tuple[int, int], callable] = {}
+        self._stage1_cache: Dict[Tuple[int, int], callable] = {}
+        self._stage2_cache: Dict[int, callable] = {}
+        self.bucketed = bool(cfg.TPU.BUCKETED_DENSEPOSE) and cfg.MODEL.DENSEPOSE_ON
+        d = cfg.TEST.DETECTIONS_PER_IMAGE
+        self.buckets = sorted({b for b in (8, 16, 32, 64) if b < d} | {d})
 
     def _cast_param(self, name: str, v: np.ndarray):
         # Weights participating in MXU work go to the compute dtype; the fp32
@@ -89,11 +94,38 @@ class DensePosePredictor:
 
     def __call__(self, image_bgr_u8: np.ndarray) -> Dict[str, jnp.ndarray]:
         """image: (H, W, 3) uint8 BGR (the run.py contract). Returns device
-        arrays (fixed-size slots + num_instances)."""
+        arrays (fixed-size slots + num_instances).
+
+        With TPU.BUCKETED_DENSEPOSE the box stage runs first, the detection
+        count syncs to the host, and the DensePose stage runs on the smallest
+        bucket covering it — typical frames skip ~90% of the worst-case
+        DensePose FLOPs at the cost of one sync."""
         assert image_bgr_u8.ndim == 3 and image_bgr_u8.shape[2] == 3, image_bgr_u8.shape
         h, w = image_bgr_u8.shape[:2]
-        fn = self._get_fn((h, w))
-        return fn(self.params, jnp.asarray(image_bgr_u8))
+        if not self.bucketed:
+            fn = self._get_fn((h, w))
+            return fn(self.params, jnp.asarray(image_bgr_u8))
+
+        from functools import partial
+        s1 = self._stage1_cache.get((h, w))
+        if s1 is None:
+            s1 = jax.jit(partial(self.model.forward_stage1,
+                                 compute_dtype=self.compute_dtype))
+            self._stage1_cache[(h, w)] = s1
+        result, features, boxes_net = s1(self.params, jnp.asarray(image_bgr_u8))
+        num = int(result["num_instances"])  # the one host sync
+        bucket = next((b for b in self.buckets if b >= max(num, 1)),
+                      self.buckets[-1])
+        s2 = self._stage2_cache.get(bucket)
+        if s2 is None:
+            s2 = jax.jit(self.model.forward_densepose)
+            self._stage2_cache[bucket] = s2
+        # detections are score-sorted with valid slots as a prefix, so the
+        # first `bucket` rows cover every valid detection
+        dp = s2(self.params, features, boxes_net[:bucket])
+        result = dict(result)
+        result.update(dp)
+        return result
 
     def predict_numpy(self, image_bgr_u8: np.ndarray) -> Dict[str, np.ndarray]:
         return self.numpy_outputs(self(image_bgr_u8))
@@ -109,8 +141,9 @@ class DensePosePredictor:
         result = {"image_size": out["image_size"], "num_instances": n}
         for k in ("pred_boxes", "scores", "pred_classes"):
             result[k] = out[k][idx]
-        for k in ("pred_densepose_coarse_segm", "pred_densepose_fine_segm",
-                  "pred_densepose_u", "pred_densepose_v"):
-            if k in out:
-                result[k] = np.transpose(out[k][idx], (0, 3, 1, 2))
+        for k, v in out.items():
+            if k.startswith("pred_densepose_"):
+                # bucketed stage-2 maps may carry fewer rows than detection
+                # slots; valid detections are always a prefix
+                result[k] = np.transpose(v[idx[idx < len(v)]], (0, 3, 1, 2))
         return result

@@ -156,6 +156,68 @@ class DensePoseResultsFineSegmentationVisualizer:
         return image_bgr
 
 
+class CseResultExtractor:
+    """Per-instance closest-vertex maps for CSE models: resize the embedding
+    map to the box, mask by coarse-segm foreground, nearest-vertex lookup on
+    device (models/cse.py::closest_vertices — one MXU matmul instead of the
+    reference's 10k-row chunk loop, cse/utils.py:66-80)."""
+
+    def __init__(self, predictor):
+        self.predictor = predictor
+        cfg = predictor.cfg
+        self.class_to_mesh = {
+            int(k): v for k, v in cfg.DATASETS.CLASS_TO_MESH_NAME_MAPPING.items()}
+
+    def __call__(self, outputs: Dict[str, np.ndarray]):
+        from .models.cse import closest_vertices, vertex_embeddings
+        import jax.numpy as jnp
+
+        n = int(outputs.get("num_instances", len(outputs["pred_boxes"])))
+        boxes_xyxy = np.asarray(outputs["pred_boxes"])[:n]
+        boxes_xywh = boxes_xyxy.copy()
+        boxes_xywh[:, 2:] -= boxes_xywh[:, :2]
+        classes = np.asarray(outputs["pred_classes"])[:n]
+        results = []
+        mesh_cache = {}
+        for i in range(n):
+            x, y, w, h = [int(q) for q in boxes_xywh[i]]
+            w, h = max(w, 1), max(h, 1)
+            # outputs store NCHW (predictor.numpy_outputs); convert to HWC
+            emb = np.transpose(np.asarray(outputs["pred_densepose_embedding"][i]), (1, 2, 0))
+            segm = np.transpose(np.asarray(outputs["pred_densepose_coarse_segm"][i]), (1, 2, 0))
+            emb = _resize_bilinear_np(emb.astype(np.float32), (h, w))
+            segm = _resize_bilinear_np(segm.astype(np.float32), (h, w))
+            mask = segm.argmax(-1) > 0
+            mesh_name = self.class_to_mesh[int(classes[i])]
+            if mesh_name not in mesh_cache:
+                mesh_cache[mesh_name] = vertex_embeddings(self.predictor.params, mesh_name)
+            verts = closest_vertices(jnp.asarray(emb.reshape(-1, emb.shape[-1])),
+                                     mesh_cache[mesh_name])
+            verts = np.asarray(verts).reshape(h, w) * mask
+            results.append({"closest_vertices": verts, "mask": mask,
+                            "mesh_name": mesh_name})
+        return results, boxes_xywh
+
+
+class CseVisualizer:
+    """Overlay of closest-vertex indices (colormapped modulo 255)."""
+
+    def __init__(self, predictor, alpha=0.7, cmap=None, keep_bg=True):
+        self.extractor = CseResultExtractor(predictor)
+        self.mask_visualizer = MatrixVisualizer(cmap=cmap, val_scale=1.0, alpha=alpha)
+        self.keep_bg = keep_bg
+
+    def visualize(self, image_bgr: np.ndarray, outputs) -> np.ndarray:
+        results, boxes_xywh = self.extractor(outputs)
+        if not self.keep_bg:
+            self.mask_visualizer.fill(image_bgr, 0)
+        for res, box in zip(results, boxes_xywh):
+            matrix = (res["closest_vertices"] % 255).astype(np.uint8)
+            mask = res["mask"].astype(np.uint8)
+            self.mask_visualizer.visualize(image_bgr, mask, matrix, box)
+        return image_bgr
+
+
 class End2EndVisualizer:
     """Extract + overlay, one call per frame (visualizer.py:132-139)."""
 

@@ -94,6 +94,7 @@ def test_full_pkl_roundtrip_detectron2_format():
     """A zoo-format pkl with a complete (random) R50-FPN-s1x state dict loads
     into every spec slot."""
     cfg = get_cfg()
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
     cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
     cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
     cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]

@@ -1,0 +1,124 @@
+"""Model-zoo coverage: every family (chart R50/R101, DL, WC*, legacy, HRNet,
+CSE) builds, loads random weights through the spec, and runs E2E on a tiny
+image with correct output shapes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from densepose_tpu import model_zoo
+from densepose_tpu.models.rcnn import build_model
+from densepose_tpu.predictor import load_params
+
+TINY = [
+    "INPUT.MIN_SIZE_TEST", "64",
+    "INPUT.MAX_SIZE_TEST", "128",
+    "MODEL.RPN.PRE_NMS_TOPK_TEST", "100",
+    "MODEL.RPN.POST_NMS_TOPK_TEST", "40",
+    "TEST.DETECTIONS_PER_IMAGE", "3",
+]
+
+
+def _tiny(name):
+    cfg = model_zoo.get_config(name).clone()
+    cfg.defrost()
+    cfg.merge_from_list(TINY)
+    cfg.freeze()
+    return cfg
+
+
+def _run(cfg):
+    model = build_model(cfg)
+    params = {k: jnp.asarray(v) for k, v in load_params(cfg, None, seed=0).items()}
+    img = (np.random.RandomState(0).rand(48, 64, 3) * 255).astype(np.uint8)
+    out = jax.jit(model.forward)(params, jnp.asarray(img))
+    return jax.tree_util.tree_map(np.asarray, out)
+
+
+def test_zoo_lists_all_families():
+    names = model_zoo.list_models()
+    assert "densepose_rcnn_R_50_FPN_s1x" in names
+    assert "densepose_rcnn_R_101_FPN_DL_WC2M_s1x" in names
+    assert "densepose_rcnn_R_50_FPN_s1x_legacy" in names
+    assert "densepose_rcnn_HRFPN_HRNet_w32_s1x" in names
+    assert "densepose_rcnn_R_50_FPN_s1x_cse" in names
+    # 22 chart + 2 legacy + 3 hrnet + 8 cse
+    assert len(names) >= 33
+
+
+def test_chart_s1x_shapes():
+    out = _run(_tiny("densepose_rcnn_R_50_FPN_s1x"))
+    assert out["pred_densepose_u"].shape == (3, 112, 112, 25)
+    assert out["pred_densepose_coarse_segm"].shape == (3, 112, 112, 2)
+
+
+def test_legacy_shapes():
+    out = _run(_tiny("densepose_rcnn_R_50_FPN_s1x_legacy"))
+    # legacy: 56x56 heatmaps, 15 coarse channels (14x14 pooler, no decoder)
+    assert out["pred_densepose_u"].shape == (3, 56, 56, 25)
+    assert out["pred_densepose_coarse_segm"].shape == (3, 56, 56, 15)
+
+
+def test_wc_variant_has_confidence_weights_but_siuv_outputs():
+    cfg = _tiny("densepose_rcnn_R_50_FPN_WC2M_s1x")
+    model = build_model(cfg)
+    spec = model.spec()
+    # confidence deconvs declared so WC checkpoints load...
+    assert "roi_heads.densepose_predictor.sigma_2_lowres.weight" in spec
+    assert "roi_heads.densepose_predictor.kappa_u_lowres.weight" in spec
+    assert "roi_heads.densepose_predictor.fine_segm_confidence_lowres.weight" in spec
+    # ...but outputs stay SIUV (chart_with_confidence.py:91-109 drops them)
+    out = _run(cfg)
+    dp_keys = sorted(k for k in out if k.startswith("pred_densepose_"))
+    assert dp_keys == ["pred_densepose_coarse_segm", "pred_densepose_fine_segm",
+                       "pred_densepose_u", "pred_densepose_v"]
+
+
+@pytest.mark.slow
+def test_deeplab_head_runs():
+    out = _run(_tiny("densepose_rcnn_R_50_FPN_DL_s1x"))
+    assert out["pred_densepose_u"].shape == (3, 112, 112, 25)
+
+
+def test_hrnet_runs():
+    """The reference crashes on HRNet configs (no build_hrfpn_backbone,
+    SURVEY.md section 2.4); we run them."""
+    out = _run(_tiny("densepose_rcnn_HRFPN_HRNet_w32_s1x"))
+    assert out["pred_densepose_u"].shape == (3, 112, 112, 25)
+    assert out["pred_boxes"].shape == (3, 4)
+
+
+def test_cse_runs():
+    """The reference crashes on CSE configs (no DensePoseEmbeddingPredictor,
+    SURVEY.md section 2.5); we run them."""
+    cfg = _tiny("densepose_rcnn_R_50_FPN_s1x_cse")
+    out = _run(cfg)
+    assert out["pred_densepose_embedding"].shape == (3, 112, 112, 16)
+    assert out["pred_densepose_coarse_segm"].shape == (3, 112, 112, 2)
+    assert "pred_densepose_u" not in out
+
+
+def test_cse_vertex_lookup():
+    from densepose_tpu.models.cse import closest_vertices, normalize_embeddings
+    rng = np.random.RandomState(0)
+    mesh = normalize_embeddings(jnp.asarray(rng.randn(100, 16).astype(np.float32)))
+    # pixel embeddings exactly equal to some vertices -> argmin returns them
+    idx = np.array([3, 50, 99, 0])
+    pix = np.asarray(mesh)[idx]
+    got = np.asarray(closest_vertices(jnp.asarray(pix), mesh))
+    np.testing.assert_array_equal(got, idx)
+
+
+def test_reference_hrnet_yaml_parses_and_builds():
+    import os
+    path = "/root/reference/configs/HRNet/densepose_rcnn_HRFPN_HRNet_w32_s1x.yaml"
+    if not os.path.exists(path):
+        pytest.skip("reference configs not mounted")
+    from densepose_tpu.config import load_config
+    cfg = load_config(path, TINY)
+    model = build_model(cfg)
+    spec = model.spec()
+    assert any(k.startswith("backbone.bottom_up.stage4") for k in spec)
+    assert "backbone.reduction_conv.weight" in spec
