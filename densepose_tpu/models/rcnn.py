@@ -86,7 +86,11 @@ class GeneralizedRCNN:
         bb_spec, _, _ = backbone_fns(self.cfg)
         spec = bb_spec(self.cfg)
         spec.update(rpn_spec(self.cfg))
-        spec.update(roi_heads_spec(self.cfg))
+        if self.cfg.MODEL.ROI_HEADS.NAME == "Res5ROIHeads":
+            from .res5_roi_heads import res5_spec
+            spec.update(res5_spec(self.cfg))
+        else:
+            spec.update(roi_heads_spec(self.cfg))
         return spec
 
     # -- forward pieces -----------------------------------------------------
@@ -123,8 +127,13 @@ class GeneralizedRCNN:
         _, bb_forward, _ = backbone_fns(cfg)
         features = bb_forward(params, x, cfg)
         proposals, obj_logits, pvalid = rpn_forward(params, features, (hp, wp), cfg)
-        boxes_net, scores, classes, dvalid = box_stage_forward(
-            params, features, proposals, pvalid, cfg)
+        if cfg.MODEL.ROI_HEADS.NAME == "Res5ROIHeads":
+            from .res5_roi_heads import res5_forward
+            boxes_net, scores, classes, dvalid = res5_forward(
+                params, features, proposals, pvalid, cfg)
+        else:
+            boxes_net, scores, classes, dvalid = box_stage_forward(
+                params, features, proposals, pvalid, cfg)
 
         # detector_postprocess (postprocessing.py:11-61): rescale to the
         # original resolution, drop empty, clip with correct (H, W) order

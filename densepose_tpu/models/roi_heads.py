@@ -53,8 +53,16 @@ def feature_strides(cfg) -> Dict[str, int]:
 # ---------------------------------------------------------------------------
 
 def _backbone_out_channels(cfg) -> int:
-    if cfg.MODEL.BACKBONE.NAME == "build_hrfpn_backbone":
+    name = cfg.MODEL.BACKBONE.NAME
+    if name == "build_hrfpn_backbone":
         return cfg.MODEL.HRNET.HRFPN.OUT_CHANNELS
+    if name == "build_resnet_backbone":
+        # C4: channels of the single in_feature (e.g. res4 -> 1024 for R50)
+        feat = cfg.MODEL.RPN.IN_FEATURES[0]
+        stage = int(feat[3:])
+        if cfg.MODEL.RESNETS.DEPTH >= 50:
+            return cfg.MODEL.RESNETS.RES2_OUT_CHANNELS * (2 ** (stage - 2))
+        return 64 * (2 ** (stage - 2))
     return cfg.MODEL.FPN.OUT_CHANNELS
 
 

@@ -25,7 +25,24 @@ import jax.numpy as jnp
 
 from .boxes import pairwise_iou
 
-_NEG = -1e30  # effective -inf that survives fp16/bf16 casts of scores
+_NEG = -1e30
+
+
+def _use_pallas() -> bool:
+    """The Pallas kernel needs a real TPU (Mosaic); CPU/GPU fall back to the
+    XLA fixed-point formulation. Cached once per process."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        try:
+            import jax as _jax
+            plat = _jax.devices()[0].platform.lower()
+            _PALLAS_OK = ("tpu" in plat or plat == "axon")
+        except Exception:
+            _PALLAS_OK = False
+    return _PALLAS_OK
+
+
+_PALLAS_OK = None  # effective -inf that survives fp16/bf16 casts of scores
 
 
 def nms_mask(
@@ -47,6 +64,11 @@ def nms_mask(
     order = jnp.argsort(-s, stable=True)
     b = boxes[order]
     v = valid[order]
+
+    if _use_pallas():
+        from .pallas.nms_kernel import nms_keep_pallas
+        keep = nms_keep_pallas(b, v, float(iou_threshold))
+        return jnp.zeros((k,), dtype=bool).at[order].set(keep)
 
     iou = pairwise_iou(b, b)
     row = jnp.arange(k)[:, None]

@@ -31,6 +31,19 @@ from .models.rcnn import GeneralizedRCNN, build_model
 
 logger = logging.getLogger(__name__)
 
+
+def enable_compilation_cache(path: str = "~/.cache/densepose_tpu/xla") -> None:
+    """Persist XLA executables across processes — the analogue of the
+    reference's saved TorchScript artifact containing the compiled graph.
+    Safe to call multiple times."""
+    import os
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # older jax without the knobs
+        logger.warning("compilation cache unavailable: %s", e)
+
+
 _DTYPES = {
     "float32": jnp.float32,
     "bfloat16": jnp.bfloat16,

@@ -1,0 +1,159 @@
+"""End-to-end CLI-level tests (CPU, tiny sizes): image flow, video flow,
+export/import round-trip, fp16 mode."""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY = [
+    "INPUT.MIN_SIZE_TEST", "64",
+    "INPUT.MAX_SIZE_TEST", "128",
+    "MODEL.RPN.PRE_NMS_TOPK_TEST", "100",
+    "MODEL.RPN.POST_NMS_TOPK_TEST", "40",
+    "TEST.DETECTIONS_PER_IMAGE", "3",
+]
+
+
+def _tiny_cfg():
+    from densepose_tpu import model_zoo
+    cfg = model_zoo.get_config("densepose_rcnn_R_50_FPN_s1x").clone()
+    cfg.defrost()
+    cfg.merge_from_list(TINY)
+    return cfg
+
+
+def test_image_cli_flow(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    img_path = str(tmp_path / "in.jpg")
+    img = np.full((48, 64, 3), 128, np.uint8)
+    cv2.imwrite(img_path, img)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run.py"),
+         "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml", img_path,
+         "--cpu", "--opts"] + TINY,
+        capture_output=True, text=True, env=env, timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(str(tmp_path / "in_pred.jpg")), r.stdout
+
+
+def test_video_flow(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    import jax
+    from densepose_tpu.predictor import DensePosePredictor
+    from densepose_tpu.visualizer import End2EndVisualizer
+    from densepose_tpu.parallel.pipeline import run_video
+
+    vid_path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+    for i in range(5):
+        w.write(np.full((48, 64, 3), 30 * i, np.uint8))
+    w.release()
+
+    cfg = _tiny_cfg()
+    cfg.freeze()
+    pred = DensePosePredictor(cfg, seed=0)
+    vis = End2EndVisualizer(alpha=0.7, keep_bg=False)
+    out_path = str(tmp_path / "clip_pred.mp4")
+    run_video(pred, vis, vid_path, out_path)
+    assert os.path.exists(out_path)
+    cap = cv2.VideoCapture(out_path)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+
+
+def test_export_import_roundtrip(tmp_path, monkeypatch):
+    """export.py writes an .npz bundle that the predictor loads; outputs match
+    the direct-from-pkl path exactly."""
+    import pickle
+    import jax.numpy as jnp
+    from densepose_tpu.checkpoint.transform import random_torch_state
+    from densepose_tpu.models.rcnn import build_model
+    from densepose_tpu.predictor import DensePosePredictor
+
+    cfg = _tiny_cfg()
+    cfg.freeze()
+    model = build_model(cfg)
+    spec = model.spec()
+    state = random_torch_state(spec, seed=7)
+    pkl_path = str(tmp_path / "model.pkl")
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"model": {k: v for k, v in state.items()},
+                     "__author__": "test"}, f)
+
+    monkeypatch.chdir(tmp_path)
+    cfg_yaml = str(tmp_path / "cfg.yaml")
+    with open(cfg_yaml, "w") as f:
+        f.write("VERSION: 2\n")  # defaults-only; we pass overrides on top
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "export.py"),
+         "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml", pkl_path],
+        capture_output=True, text=True, env=env, timeout=300, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    npz = str(tmp_path / "exported" / "densepose_rcnn_R_50_FPN_s1x_fp32.npz")
+    assert os.path.exists(npz)
+    assert os.path.exists(npz + ".config.json")
+
+    img = (np.random.RandomState(0).rand(48, 64, 3) * 255).astype(np.uint8)
+    p1 = DensePosePredictor(cfg, weights_path=pkl_path)
+    p2cfg = _tiny_cfg()
+    p2cfg.freeze()
+    p2 = DensePosePredictor(p2cfg, weights_path=npz)
+    o1 = p1.predict_numpy(img)
+    o2 = p2.predict_numpy(img)
+    np.testing.assert_allclose(o1["pred_boxes"], o2["pred_boxes"], atol=1e-5)
+    np.testing.assert_allclose(o1["scores"], o2["scores"], atol=1e-6)
+
+
+def test_fp16_mode_runs():
+    """The --fp16 analogue: float16 params+compute with fp32 islands; outputs
+    stay finite and close to the fp32 run (reference export.py:36-37)."""
+    import jax
+    from densepose_tpu.predictor import DensePosePredictor
+
+    img = (np.random.RandomState(1).rand(48, 64, 3) * 255).astype(np.uint8)
+    cfg32 = _tiny_cfg()
+    cfg32.freeze()
+    o32 = DensePosePredictor(cfg32, seed=0).predict_numpy(img)
+
+    cfg16 = _tiny_cfg()
+    cfg16.TPU.COMPUTE_DTYPE = "float16"
+    cfg16.freeze()
+    o16 = DensePosePredictor(cfg16, seed=0).predict_numpy(img)
+
+    assert np.isfinite(o16["pred_boxes"]).all()
+    assert np.isfinite(o16["scores"]).all()
+    # same detections, close boxes (half precision tolerance)
+    if len(o32["pred_boxes"]) and len(o16["pred_boxes"]):
+        n = min(len(o32["pred_boxes"]), len(o16["pred_boxes"]))
+        np.testing.assert_allclose(o16["pred_boxes"][:n], o32["pred_boxes"][:n],
+                                   atol=2.0, rtol=0.1)
+
+
+def test_bucketed_matches_monolithic():
+    """TPU.BUCKETED_DENSEPOSE two-stage dispatch produces identical results to
+    the monolithic graph for the valid detections."""
+    from densepose_tpu.predictor import DensePosePredictor
+
+    img = (np.random.RandomState(2).rand(48, 64, 3) * 255).astype(np.uint8)
+    cfg_a = _tiny_cfg()
+    cfg_a.freeze()
+    a = DensePosePredictor(cfg_a, seed=0).predict_numpy(img)
+
+    cfg_b = _tiny_cfg()
+    cfg_b.TPU.BUCKETED_DENSEPOSE = True
+    cfg_b.freeze()
+    b = DensePosePredictor(cfg_b, seed=0).predict_numpy(img)
+
+    assert a["num_instances"] == b["num_instances"]
+    np.testing.assert_allclose(a["pred_boxes"], b["pred_boxes"], atol=1e-5)
+    np.testing.assert_allclose(a["pred_densepose_u"], b["pred_densepose_u"],
+                               atol=1e-4, rtol=1e-3)
