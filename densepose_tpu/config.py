@@ -460,6 +460,11 @@ def _detectron2_defaults() -> CfgNode:
     # over high-latency device tunnels. Default off (the monolithic graph is
     # already past the throughput target at worst-case shapes).
     _C.TPU.BUCKETED_DENSEPOSE = False
+    # In-graph detection-count bucketing via lax.switch: XLA:TPU executes
+    # only the taken branch, so sparse frames skip most of the per-instance
+    # DensePose head FLOPs with no host sync. Identical outputs on the valid
+    # prefix. Costs extra compile time (one DensePose stage per bucket).
+    _C.TPU.SWITCHED_DENSEPOSE = True
     return _C
 
 

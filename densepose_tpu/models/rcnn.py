@@ -162,19 +162,60 @@ class GeneralizedRCNN:
         dp = densepose_stage_forward(params, features, boxes_net, self.cfg)
         return {f"pred_densepose_{k}": v for k, v in dp.items()}
 
+    def forward_densepose_switched(self, params: Dict, features: Dict,
+                                   boxes_net: jnp.ndarray,
+                                   num_valid: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """DensePose stage with in-graph detection-count bucketing.
+
+        ``lax.switch`` picks the smallest bucket covering the live detection
+        count; XLA:TPU executes only the taken branch, so sparse frames skip
+        most of the worst-case per-instance head FLOPs with NO host sync
+        (unlike the two-stage TPU.BUCKETED_DENSEPOSE path). Outputs are
+        zero-padded to the full slot count, so every branch returns the same
+        shapes and results are bitwise equal to the monolithic graph on the
+        valid prefix."""
+        import jax
+        from .roi_heads import densepose_stage_forward
+
+        d = boxes_net.shape[0]
+        buckets = [b for b in (8, 32) if b < d] + [d]
+
+        def make_branch(b):
+            def branch(_):
+                dp = densepose_stage_forward(params, features, boxes_net[:b], self.cfg)
+                out = {}
+                for k, v in dp.items():
+                    pad = d - v.shape[0]
+                    if pad:
+                        v = jnp.concatenate(
+                            [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0)
+                    out[f"pred_densepose_{k}"] = v
+                return out
+            return branch
+
+        idx = sum(jnp.asarray(num_valid > b, jnp.int32) for b in buckets[:-1])
+        return jax.lax.switch(idx, [make_branch(b) for b in buckets], None)
+
     def forward(self, params: Dict, image_u8: jnp.ndarray,
-                compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
-        """Full single-image inference (monolithic graph; the bucketed
-        two-stage path lives in predictor.DensePosePredictor)."""
+                compute_dtype=jnp.float32,
+                switched_densepose: bool = False) -> Dict[str, jnp.ndarray]:
+        """Full single-image inference as one jit graph. With
+        ``switched_densepose`` the DensePose stage buckets on the live
+        detection count via lax.switch (device-side, no sync)."""
         result, features, boxes_net = self.forward_stage1(
             params, image_u8, compute_dtype)
         if self.cfg.MODEL.DENSEPOSE_ON:
-            result.update(self.forward_densepose(params, features, boxes_net))
+            if switched_densepose:
+                result.update(self.forward_densepose_switched(
+                    params, features, boxes_net, result["num_instances"]))
+            else:
+                result.update(self.forward_densepose(params, features, boxes_net))
         return result
 
     # -- jit entry ----------------------------------------------------------
-    def jit_forward(self, compute_dtype=jnp.float32):
+    def jit_forward(self, compute_dtype=jnp.float32, switched_densepose=False):
         """Returns a jitted fn(params, image_u8). One compile per image shape
         (the shape bucket cache lives in predictor.DensePosePredictor)."""
-        fwd = partial(self.forward, compute_dtype=compute_dtype)
+        fwd = partial(self.forward, compute_dtype=compute_dtype,
+                      switched_densepose=switched_densepose)
         return jax.jit(fwd)

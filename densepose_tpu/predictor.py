@@ -75,6 +75,9 @@ def load_params(cfg, weights_path: Optional[str] = None, seed: int = 0,
 class DensePosePredictor:
     def __init__(self, cfg, weights_path: Optional[str] = None,
                  params: Optional[Dict] = None, seed: int = 0):
+        import os
+        if os.environ.get("DENSEPOSE_TPU_COMPILE_CACHE"):
+            enable_compilation_cache()
         self.cfg = cfg
         self.model = build_model(cfg)
         self.compute_dtype = _DTYPES[cfg.TPU.COMPUTE_DTYPE]
@@ -101,7 +104,9 @@ class DensePosePredictor:
     def _get_fn(self, shape_hw: Tuple[int, int]):
         fn = self._jit_cache.get(shape_hw)
         if fn is None:
-            fn = self.model.jit_forward(compute_dtype=self.compute_dtype)
+            fn = self.model.jit_forward(
+                compute_dtype=self.compute_dtype,
+                switched_densepose=bool(self.cfg.TPU.SWITCHED_DENSEPOSE))
             self._jit_cache[shape_hw] = fn
         return fn
 

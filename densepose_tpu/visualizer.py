@@ -65,6 +65,12 @@ def resample_fine_and_uv(
     x, y, w, h = [int(q) for q in box_xywh]
     w = max(w, 1)
     h = max(h, 1)
+    # fused native path (densepose_tpu/native/fastvis.c) when a compiler is
+    # available; numpy fallback below is semantically identical
+    from .native import resample_instance_native
+    native = resample_instance_native(coarse_segm, fine_segm, u, v, h, w)
+    if native is not None:
+        return native
     coarse = _resize_bilinear_np(coarse_segm.astype(np.float32), (h, w))
     fine = _resize_bilinear_np(fine_segm.astype(np.float32), (h, w))
     fg = coarse.argmax(-1) > 0

@@ -39,7 +39,7 @@ def test_image_cli_flow(tmp_path):
         [sys.executable, os.path.join(REPO, "run.py"),
          "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml", img_path,
          "--cpu", "--opts"] + TINY,
-        capture_output=True, text=True, env=env, timeout=500)
+        capture_output=True, text=True, env=env, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(str(tmp_path / "in_pred.jpg")), r.stdout
 
@@ -157,3 +157,33 @@ def test_bucketed_matches_monolithic():
     np.testing.assert_allclose(a["pred_boxes"], b["pred_boxes"], atol=1e-5)
     np.testing.assert_allclose(a["pred_densepose_u"], b["pred_densepose_u"],
                                atol=1e-4, rtol=1e-3)
+
+
+def test_switched_densepose_matches_monolithic():
+    """lax.switch in-graph bucketing picks a branch on device; outputs on the
+    valid prefix equal the monolithic graph."""
+    import jax.numpy as jnp
+    import jax
+    from densepose_tpu.models.rcnn import build_model
+    from densepose_tpu.predictor import load_params
+
+    cfg = _tiny_cfg()
+    cfg.merge_from_list(["TEST.DETECTIONS_PER_IMAGE", "40",
+                         "MODEL.ROI_HEADS.SCORE_THRESH_TEST", "0.05"])
+    cfg.freeze()
+    model = build_model(cfg)
+    params = {k: jnp.asarray(v) for k, v in load_params(cfg, None, seed=0).items()}
+    img = (np.random.RandomState(3).rand(48, 64, 3) * 255).astype(np.uint8)
+
+    mono = jax.jit(lambda p, x: model.forward(p, x, switched_densepose=False))(
+        params, jnp.asarray(img))
+    swit = jax.jit(lambda p, x: model.forward(p, x, switched_densepose=True))(
+        params, jnp.asarray(img))
+
+    n = int(mono["num_instances"])
+    assert n == int(swit["num_instances"])
+    np.testing.assert_allclose(np.asarray(mono["pred_boxes"]),
+                               np.asarray(swit["pred_boxes"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mono["pred_densepose_u"])[:n],
+                               np.asarray(swit["pred_densepose_u"])[:n],
+                               atol=1e-5, rtol=1e-4)
