@@ -148,6 +148,31 @@ class DensePosePredictor:
     def predict_numpy(self, image_bgr_u8: np.ndarray) -> Dict[str, np.ndarray]:
         return self.numpy_outputs(self(image_bgr_u8))
 
+    def predict_batch(self, images_bgr_u8: np.ndarray) -> Dict[str, jnp.ndarray]:
+        """Batched inference over same-shaped frames (B, H, W, 3).
+
+        On a multi-device runtime the batch is sharded over the ``data`` mesh
+        axis (parallel/mesh.py); on a single chip it vmaps, amortizing
+        dispatch overhead. The reference silently truncates any batch to one
+        image (rcnn.py:161) — this is a new capability."""
+        assert images_bgr_u8.ndim == 4 and images_bgr_u8.shape[-1] == 3
+        b, h, w = images_bgr_u8.shape[:3]
+        key = ("batch", b, h, w)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            n_dev = len(jax.devices())
+            if n_dev > 1 and b % n_dev == 0:
+                from .parallel.mesh import data_parallel_forward, make_mesh
+                fn = data_parallel_forward(self.model, make_mesh(),
+                                           compute_dtype=self.compute_dtype)
+            else:
+                from functools import partial
+                fn = jax.jit(jax.vmap(
+                    partial(self.model.forward, compute_dtype=self.compute_dtype),
+                    in_axes=(None, 0)))
+            self._jit_cache[key] = fn
+        return fn(self.params, jnp.asarray(images_bgr_u8))
+
     @staticmethod
     def numpy_outputs(outputs: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
         """Trim padded slots and convert DensePose maps to the reference's

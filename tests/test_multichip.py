@@ -68,3 +68,22 @@ def test_dp_output_sharding(setup):
     sharding = out["pred_densepose_u"].sharding
     # batch axis is sharded over the mesh
     assert not sharding.is_fully_replicated
+
+
+def test_predict_batch_api(setup):
+    """Predictor.predict_batch: vmap path (batch not divisible by devices)
+    and mesh path (divisible) both match per-frame outputs."""
+    from densepose_tpu.predictor import DensePosePredictor
+
+    cfg, model, params = setup
+    pred = DensePosePredictor(cfg, params={k: np.asarray(v) for k, v in params.items()})
+    frames = (np.random.RandomState(5).rand(2, 48, 64, 3) * 255).astype(np.uint8)
+    out = pred.predict_batch(frames)  # 2 % 8 != 0 -> vmap path
+    assert out["pred_boxes"].shape[0] == 2
+    single = pred(frames[0])
+    np.testing.assert_allclose(np.asarray(out["pred_boxes"][0]),
+                               np.asarray(single["pred_boxes"]), atol=1e-4)
+
+    frames8 = (np.random.RandomState(6).rand(8, 48, 64, 3) * 255).astype(np.uint8)
+    out8 = pred.predict_batch(frames8)  # mesh path
+    assert out8["pred_boxes"].shape[0] == 8
