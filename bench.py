@@ -30,7 +30,7 @@ REFERENCE_FPS = 1.0 / 0.066  # R_50_FPN_s1x, BASELINE.md
 def main():
     import numpy as np
 
-    from densepose_tpu.config import load_config, get_cfg
+    from densepose_tpu.config import load_config
     from densepose_tpu.predictor import DensePosePredictor
 
     cfg_path = "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml"

@@ -48,6 +48,17 @@ def load_checkpoint_file(filename: str) -> Tuple[StateDict, bool]:
         # our own export format (export.py)
         with np.load(filename, allow_pickle=False) as z:
             return {k: z[k] for k in z.files}, False
+    if filename.endswith((".pt", ".pth", ".pyth")):
+        # torch-format checkpoints (detection_checkpoint.py:64-90)
+        import torch
+        data = torch.load(filename, map_location="cpu", weights_only=False)
+        if isinstance(data, dict) and "model" in data:
+            data = data["model"]
+        elif isinstance(data, dict) and "model_state" in data:  # pycls .pyth
+            data = {k: v for k, v in data["model_state"].items()
+                    if not k.endswith("num_batches_tracked")}
+        return ({k: np.asarray(v.detach().cpu() if hasattr(v, "detach") else v)
+                 for k, v in data.items()}, False)
     raise ValueError(f"Unsupported checkpoint format: {filename}")
 
 

@@ -19,7 +19,7 @@ implements the full working CSE inference path:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ from typing import Dict, List
 import jax
 import jax.numpy as jnp
 
-from ..checkpoint.spec import Spec, conv_spec, conv_transpose_spec, ParamSpec
+from ..checkpoint.spec import ParamSpec, Spec, conv_spec
 from ..ops import conv2d, conv_transpose2d, roi_align_multilevel
 from ..ops.roi_align import assign_boxes_to_levels
 

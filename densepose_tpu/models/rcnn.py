@@ -34,7 +34,7 @@ import numpy as np
 from ..checkpoint.spec import Spec
 from ..ops import clip_boxes, nonempty_boxes, resize_bilinear
 from .backbones import backbone_fns
-from .roi_heads import roi_heads_forward, roi_heads_spec
+from .roi_heads import roi_heads_spec
 from .rpn import rpn_forward, rpn_spec
 
 SIZE_DIVISIBILITY = 32  # FPN max stride (fpn.py:116)

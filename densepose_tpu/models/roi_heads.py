@@ -26,7 +26,6 @@ from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..checkpoint.spec import (
     Spec, conv_spec, conv_transpose_spec, gn_spec, linear_spec,

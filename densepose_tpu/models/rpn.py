@@ -23,7 +23,6 @@ from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..checkpoint.spec import Spec, conv_spec
 from ..ops import apply_deltas, clip_boxes_wh_swapped, conv2d, nonempty_boxes

@@ -15,7 +15,7 @@ would only add collective latency; DP is the right decomposition
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -7,7 +7,7 @@ by every build_* dispatch; implemented without fvcore.
 from __future__ import annotations
 
 import importlib
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 
 class Registry:

@@ -16,7 +16,7 @@ validity mask; this module consumes only the valid slots.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
