@@ -196,9 +196,41 @@ class GeneralizedRCNN:
         idx = sum(jnp.asarray(num_valid > b, jnp.int32) for b in buckets[:-1])
         return jax.lax.switch(idx, [make_branch(b) for b in buckets], None)
 
+    @staticmethod
+    def device_postprocess(dp: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Fuse the per-instance DensePose extraction into the graph
+        (BASELINE north star: 'coarse+fine segm argmax, UV resample' fused).
+
+        Collapses the (D, H, W, 77) SIUV logit maps into
+        ``pred_densepose_labels`` (D, H, W) int32 and ``pred_densepose_uv``
+        (D, H, W, 2) at the heatmap grid — ~20x less device->host traffic;
+        the host only rescales to the box (visualizer). Chart models only.
+
+        NOTE (parity): the reference argmaxes AFTER resizing logits to the
+        box (visualizer.py:10-17); here argmax happens at grid resolution and
+        the label map is resized instead — boundaries can shift by <=1 px at
+        box scale. The raw-maps mode (TPU.DEVICE_POSTPROCESS=False)
+        reproduces the reference exactly.
+        """
+        coarse = dp["pred_densepose_coarse_segm"].astype(jnp.float32)
+        fine = dp["pred_densepose_fine_segm"].astype(jnp.float32)
+        u = dp["pred_densepose_u"]
+        v = dp["pred_densepose_v"]
+        fg = jnp.argmax(coarse, axis=-1) > 0
+        labels = jnp.argmax(fine, axis=-1).astype(jnp.int32) * fg
+        lab = labels[..., None]
+        u_sel = jnp.take_along_axis(u, lab, axis=-1)[..., 0]
+        v_sel = jnp.take_along_axis(v, lab, axis=-1)[..., 0]
+        uv = jnp.stack([jnp.where(fg, u_sel, 0), jnp.where(fg, v_sel, 0)], axis=-1)
+        return {
+            "pred_densepose_labels": labels,
+            "pred_densepose_uv": uv.astype(jnp.float32),
+        }
+
     def forward(self, params: Dict, image_u8: jnp.ndarray,
                 compute_dtype=jnp.float32,
-                switched_densepose: bool = False) -> Dict[str, jnp.ndarray]:
+                switched_densepose: bool = False,
+                device_postprocess: bool = False) -> Dict[str, jnp.ndarray]:
         """Full single-image inference as one jit graph. With
         ``switched_densepose`` the DensePose stage buckets on the live
         detection count via lax.switch (device-side, no sync)."""
@@ -206,16 +238,21 @@ class GeneralizedRCNN:
             params, image_u8, compute_dtype)
         if self.cfg.MODEL.DENSEPOSE_ON:
             if switched_densepose:
-                result.update(self.forward_densepose_switched(
-                    params, features, boxes_net, result["num_instances"]))
+                dp = self.forward_densepose_switched(
+                    params, features, boxes_net, result["num_instances"])
             else:
-                result.update(self.forward_densepose(params, features, boxes_net))
+                dp = self.forward_densepose(params, features, boxes_net)
+            if device_postprocess and "pred_densepose_u" in dp:
+                dp = self.device_postprocess(dp)
+            result.update(dp)
         return result
 
     # -- jit entry ----------------------------------------------------------
-    def jit_forward(self, compute_dtype=jnp.float32, switched_densepose=False):
+    def jit_forward(self, compute_dtype=jnp.float32, switched_densepose=False,
+                    device_postprocess=False):
         """Returns a jitted fn(params, image_u8). One compile per image shape
         (the shape bucket cache lives in predictor.DensePosePredictor)."""
         fwd = partial(self.forward, compute_dtype=compute_dtype,
-                      switched_densepose=switched_densepose)
+                      switched_densepose=switched_densepose,
+                      device_postprocess=device_postprocess)
         return jax.jit(fwd)

@@ -25,8 +25,9 @@ import numpy as np
 
 def run_video(predictor, visualizer, input_path: str, save_path: str,
               batch: int = 0) -> None:
+    import time
+
     import cv2
-    import jax
 
     cap = cv2.VideoCapture(input_path)
     n_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
@@ -61,11 +62,18 @@ def run_video(predictor, visualizer, input_path: str, save_path: str,
         processed += 1
         print(f"Frame {processed}/{n_frames} processed", end="\r")
 
+    t_start = None
     try:
         while True:
             frame = frame_q.get()
             if frame is None:
                 break
+            if t_start is None:
+                # exclude the first frame's compile from the fps figure
+                outputs = predictor(frame)
+                flush(frame, outputs)
+                t_start = time.perf_counter()
+                continue
             outputs = predictor(frame)  # async dispatch; returns immediately
             pending.append((frame, outputs))
             if len(pending) > 1:
@@ -77,6 +85,10 @@ def run_video(predictor, visualizer, input_path: str, save_path: str,
 
     if writer is not None:
         writer.release()
-        print(f"\nVideo saved to {save_path}")
+        msg = f"\nVideo saved to {save_path}"
+        if t_start is not None and processed > 1:
+            fps_eff = (processed - 1) / (time.perf_counter() - t_start)
+            msg += f" ({fps_eff:.1f} fps steady-state)"
+        print(msg)
     else:
         print("No frames processed")

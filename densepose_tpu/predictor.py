@@ -106,7 +106,8 @@ class DensePosePredictor:
         if fn is None:
             fn = self.model.jit_forward(
                 compute_dtype=self.compute_dtype,
-                switched_densepose=bool(self.cfg.TPU.SWITCHED_DENSEPOSE))
+                switched_densepose=bool(self.cfg.TPU.SWITCHED_DENSEPOSE),
+                device_postprocess=bool(self.cfg.TPU.DEVICE_POSTPROCESS))
             self._jit_cache[shape_hw] = fn
         return fn
 
@@ -188,5 +189,9 @@ class DensePosePredictor:
             if k.startswith("pred_densepose_"):
                 # bucketed stage-2 maps may carry fewer rows than detection
                 # slots; valid detections are always a prefix
-                result[k] = np.transpose(v[idx[idx < len(v)]], (0, 3, 1, 2))
+                sel = v[idx[idx < len(v)]]
+                # channel-last maps go to the reference's NCHW; the
+                # device-postprocess label map (N, H, W) passes through
+                result[k] = (np.transpose(sel, (0, 3, 1, 2))
+                             if sel.ndim == 4 else sel)
         return result

@@ -95,14 +95,32 @@ class DensePoseResultExtractor:
         boxes_xywh = boxes_xyxy.copy()
         boxes_xywh[:, 2:] -= boxes_xywh[:, :2]
         results = []
+        device_pp = "pred_densepose_labels" in outputs
         for i in range(n):
-            labels, uv = resample_fine_and_uv(
-                np.asarray(outputs["pred_densepose_coarse_segm"][i]),
-                np.asarray(outputs["pred_densepose_fine_segm"][i]),
-                np.asarray(outputs["pred_densepose_u"][i]),
-                np.asarray(outputs["pred_densepose_v"][i]),
-                boxes_xywh[i],
-            )
+            if device_pp:
+                # device-postprocessed form (TPU.DEVICE_POSTPROCESS): labels
+                # and UV already extracted at grid resolution; just paste
+                x, y, w, h = [int(q) for q in boxes_xywh[i]]
+                w, h = max(w, 1), max(h, 1)
+                lab_grid = np.asarray(outputs["pred_densepose_labels"][i])
+                uv_grid = np.asarray(outputs["pred_densepose_uv"][i])  # (2,H,W)
+                gy = np.minimum((np.arange(h) * lab_grid.shape[0] / h).astype(int),
+                                lab_grid.shape[0] - 1)
+                gx = np.minimum((np.arange(w) * lab_grid.shape[1] / w).astype(int),
+                                lab_grid.shape[1] - 1)
+                labels = lab_grid[gy][:, gx].astype(np.int64)
+                uv = np.stack([
+                    _resize_bilinear_np(uv_grid[0][..., None], (h, w))[..., 0],
+                    _resize_bilinear_np(uv_grid[1][..., None], (h, w))[..., 0],
+                ])
+            else:
+                labels, uv = resample_fine_and_uv(
+                    np.asarray(outputs["pred_densepose_coarse_segm"][i]),
+                    np.asarray(outputs["pred_densepose_fine_segm"][i]),
+                    np.asarray(outputs["pred_densepose_u"][i]),
+                    np.asarray(outputs["pred_densepose_v"][i]),
+                    boxes_xywh[i],
+                )
             results.append({"labels": labels, "uv": uv})
         return results, boxes_xywh
 

@@ -187,3 +187,48 @@ def test_switched_densepose_matches_monolithic():
     np.testing.assert_allclose(np.asarray(mono["pred_densepose_u"])[:n],
                                np.asarray(swit["pred_densepose_u"])[:n],
                                atol=1e-5, rtol=1e-4)
+
+
+def test_device_postprocess_matches_host_extraction():
+    """TPU.DEVICE_POSTPROCESS: on-device argmax+UV gather agrees with the
+    host extraction at grid resolution (labels exactly, uv where labeled)."""
+    import jax
+    import jax.numpy as jnp
+    from densepose_tpu.models.rcnn import build_model
+    from densepose_tpu.predictor import DensePosePredictor, load_params
+
+    cfg = _tiny_cfg()
+    cfg.freeze()
+    model = build_model(cfg)
+    params = {k: jnp.asarray(v) for k, v in load_params(cfg, None, seed=0).items()}
+    img = (np.random.RandomState(4).rand(48, 64, 3) * 255).astype(np.uint8)
+
+    raw = jax.jit(lambda p, x: model.forward(p, x))(params, jnp.asarray(img))
+    dev = jax.jit(lambda p, x: model.forward(p, x, device_postprocess=True))(
+        params, jnp.asarray(img))
+
+    n = int(raw["num_instances"])
+    coarse = np.asarray(raw["pred_densepose_coarse_segm"])[:n]
+    fine = np.asarray(raw["pred_densepose_fine_segm"])[:n]
+    u = np.asarray(raw["pred_densepose_u"])[:n]
+    fg = coarse.argmax(-1) > 0
+    want_labels = fine.argmax(-1) * fg
+
+    got_labels = np.asarray(dev["pred_densepose_labels"])[:n]
+    np.testing.assert_array_equal(got_labels, want_labels)
+    got_uv = np.asarray(dev["pred_densepose_uv"])[:n]
+    want_u = np.take_along_axis(u, want_labels[..., None], axis=-1)[..., 0] * fg
+    np.testing.assert_allclose(got_uv[..., 0], want_u, atol=1e-5)
+
+    # full predictor path with the knob + visualizer consumes the new form
+    cfg2 = _tiny_cfg()
+    cfg2.TPU.DEVICE_POSTPROCESS = True
+    cfg2.freeze()
+    pred = DensePosePredictor(cfg2, seed=0)
+    out = pred.predict_numpy(img)
+    assert "pred_densepose_labels" in out
+    from densepose_tpu.visualizer import DensePoseResultExtractor
+    results, boxes = DensePoseResultExtractor()(out)
+    assert len(results) == out["num_instances"]
+    if results:
+        assert results[0]["uv"].shape[0] == 2
