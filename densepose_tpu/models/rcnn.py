@@ -222,9 +222,11 @@ class GeneralizedRCNN:
         u_sel = jnp.take_along_axis(u, lab, axis=-1)[..., 0]
         v_sel = jnp.take_along_axis(v, lab, axis=-1)[..., 0]
         uv = jnp.stack([jnp.where(fg, u_sel, 0), jnp.where(fg, v_sel, 0)], axis=-1)
+        # labels fit in uint8 (<= 24 parts) and UV in half precision — the
+        # host only colormaps/rescales these, so shrink the transfer 4x
         return {
-            "pred_densepose_labels": labels,
-            "pred_densepose_uv": uv.astype(jnp.float32),
+            "pred_densepose_labels": labels.astype(jnp.uint8),
+            "pred_densepose_uv": uv.astype(jnp.float16),
         }
 
     def forward(self, params: Dict, image_u8: jnp.ndarray,

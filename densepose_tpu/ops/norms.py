@@ -50,6 +50,23 @@ def fold_frozen_bn(
     return w.astype(np.float32), b.astype(np.float32)
 
 
+def layer_norm_cf(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """ConvNeXt-style channels LayerNorm over channel-last x (..., C) —
+    functional equivalent of detectron2's LayerNorm (batch_norm.py:240-259,
+    [vestigial]: unused by every DensePose config)."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) / jnp.sqrt(var + eps)
+    y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def group_norm(
     x: jnp.ndarray,
     weight: jnp.ndarray,

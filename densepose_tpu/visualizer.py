@@ -103,7 +103,8 @@ class DensePoseResultExtractor:
                 x, y, w, h = [int(q) for q in boxes_xywh[i]]
                 w, h = max(w, 1), max(h, 1)
                 lab_grid = np.asarray(outputs["pred_densepose_labels"][i])
-                uv_grid = np.asarray(outputs["pred_densepose_uv"][i])  # (2,H,W)
+                uv_grid = np.asarray(outputs["pred_densepose_uv"][i],
+                                     dtype=np.float32)  # (2,H,W)
                 gy = np.minimum((np.arange(h) * lab_grid.shape[0] / h).astype(int),
                                 lab_grid.shape[0] - 1)
                 gx = np.minimum((np.arange(w) * lab_grid.shape[1] / w).astype(int),

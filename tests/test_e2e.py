@@ -216,9 +216,10 @@ def test_device_postprocess_matches_host_extraction():
 
     got_labels = np.asarray(dev["pred_densepose_labels"])[:n]
     np.testing.assert_array_equal(got_labels, want_labels)
-    got_uv = np.asarray(dev["pred_densepose_uv"])[:n]
+    got_uv = np.asarray(dev["pred_densepose_uv"], dtype=np.float32)[:n]
     want_u = np.take_along_axis(u, want_labels[..., None], axis=-1)[..., 0] * fg
-    np.testing.assert_allclose(got_uv[..., 0], want_u, atol=1e-5)
+    # uv travels in float16 (transfer-optimized)
+    np.testing.assert_allclose(got_uv[..., 0], want_u, atol=2e-3, rtol=2e-3)
 
     # full predictor path with the knob + visualizer consumes the new form
     cfg2 = _tiny_cfg()

@@ -337,3 +337,20 @@ def test_assign_boxes_to_levels():
     ])
     lvls = np.asarray(ops.roi_align.assign_boxes_to_levels(boxes, 2, 5))
     np.testing.assert_array_equal(lvls, [2, 0, 3, 1])
+
+
+def test_layer_norm_cf():
+    """detectron2's channelwise LayerNorm (batch_norm.py:240-259): per-pixel
+    normalization over the channel axis."""
+    from densepose_tpu.ops.norms import layer_norm_cf
+    c = 12
+    x = RNG.randn(5, 7, c).astype(np.float32)
+    w = RNG.randn(c).astype(np.float32)
+    b = RNG.randn(c).astype(np.float32)
+    xt = torch.from_numpy(x).permute(2, 0, 1)[None]  # (1, C, H, W)
+    u = xt.mean(1, keepdim=True)
+    s = (xt - u).pow(2).mean(1, keepdim=True)
+    want = ((xt - u) / torch.sqrt(s + 1e-6) * torch.from_numpy(w)[:, None, None]
+            + torch.from_numpy(b)[:, None, None])[0].permute(1, 2, 0)
+    got = layer_norm_cf(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(got), t2n(want), atol=1e-5, rtol=1e-5)

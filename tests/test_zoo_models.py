@@ -122,3 +122,20 @@ def test_reference_hrnet_yaml_parses_and_builds():
     spec = model.spec()
     assert any(k.startswith("backbone.bottom_up.stage4") for k in spec)
     assert "backbone.reduction_conv.weight" in spec
+
+
+def test_cse_visualizer_extraction():
+    """CSE extractor: per-instance closest-vertex maps from predictor outputs."""
+    from densepose_tpu.predictor import DensePosePredictor
+    from densepose_tpu.visualizer import CseResultExtractor
+
+    cfg = _tiny("densepose_rcnn_R_50_FPN_s1x_cse")
+    pred = DensePosePredictor(cfg, seed=0)
+    img = (np.random.RandomState(1).rand(48, 64, 3) * 255).astype(np.uint8)
+    out = pred.predict_numpy(img)
+    results, boxes = CseResultExtractor(pred)(out)
+    assert len(results) == out["num_instances"]
+    for res in results:
+        assert res["mesh_name"] == "smpl_27554"
+        assert res["closest_vertices"].max() < 27554
+        assert res["closest_vertices"].shape == res["mask"].shape
