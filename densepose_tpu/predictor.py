@@ -174,6 +174,34 @@ class DensePosePredictor:
             self._jit_cache[key] = fn
         return fn(self.params, jnp.asarray(images_bgr_u8))
 
+    # -- AOT artifact (the compiled-graph analogue of the reference's
+    # TorchScript .pt, export.py:35-40) ------------------------------------
+    def aot_export_bytes(self, shape_hw: Tuple[int, int],
+                         platforms=None) -> bytes:
+        """Serialize the compiled pipeline for a fixed input shape as a
+        StableHLO artifact (jax.export). The artifact takes (params, image)
+        and is loadable in a fresh process with ``aot_load`` — no model
+        build or trace needed."""
+        from jax import export as jax_export
+        h, w = shape_hw
+        fn = self.model.jit_forward(
+            compute_dtype=self.compute_dtype,
+            switched_densepose=bool(self.cfg.TPU.SWITCHED_DENSEPOSE),
+            device_postprocess=bool(self.cfg.TPU.DEVICE_POSTPROCESS))
+        params_spec = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.params)
+        img_spec = jax.ShapeDtypeStruct((h, w, 3), jnp.uint8)
+        kwargs = {"platforms": platforms} if platforms else {}
+        exported = jax_export.export(fn, **kwargs)(params_spec, img_spec)
+        return exported.serialize()
+
+    @staticmethod
+    def aot_load(data: bytes):
+        """bytes -> callable(params, image_u8) -> outputs dict."""
+        from jax import export as jax_export
+        exported = jax_export.deserialize(data)
+        return exported.call
+
     @staticmethod
     def numpy_outputs(outputs: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
         """Trim padded slots and convert DensePose maps to the reference's

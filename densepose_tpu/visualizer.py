@@ -94,9 +94,9 @@ class DensePoseResultExtractor:
         boxes_xyxy = np.asarray(outputs["pred_boxes"])[:n]
         boxes_xywh = boxes_xyxy.copy()
         boxes_xywh[:, 2:] -= boxes_xywh[:, :2]
-        results = []
         device_pp = "pred_densepose_labels" in outputs
-        for i in range(n):
+
+        def extract(i):
             if device_pp:
                 # device-postprocessed form (TPU.DEVICE_POSTPROCESS): labels
                 # and UV already extracted at grid resolution; just paste
@@ -122,7 +122,15 @@ class DensePoseResultExtractor:
                     np.asarray(outputs["pred_densepose_v"][i]),
                     boxes_xywh[i],
                 )
-            results.append({"labels": labels, "uv": uv})
+            return {"labels": labels, "uv": uv}
+
+        if n > 4:
+            # per-instance extraction is independent; numpy/C release the GIL
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(8, n)) as pool:
+                results = list(pool.map(extract, range(n)))
+        else:
+            results = [extract(i) for i in range(n)]
         return results, boxes_xywh
 
 

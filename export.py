@@ -37,6 +37,10 @@ def main():
                         help="NMS threshold")
     parser.add_argument("--fp16", action="store_true",
                         help="Store parameters as float16 (mirrors the reference's --fp16)")
+    parser.add_argument("--aot", metavar="HxW", default=None,
+                        help="Also serialize an AOT-compiled StableHLO artifact "
+                             "for input shape HxW (e.g. 720x1280) — the compiled-"
+                             "graph analogue of the reference's TorchScript .pt")
     args = parser.parse_args()
 
     cfg = get_cfg()
@@ -70,6 +74,16 @@ def main():
     with open(out_path + ".config.json", "w") as f:
         json.dump(cfg.dump_dict(), f, indent=1, default=str)
     print(f"Model saved to {out_path}")
+
+    if args.aot:
+        from densepose_tpu.predictor import DensePosePredictor
+        h, w = (int(v) for v in args.aot.lower().split("x"))
+        pred = DensePosePredictor(cfg, weights_path=out_path)
+        data = pred.aot_export_bytes((h, w))
+        aot_path = out_path.replace(".npz", f"_{h}x{w}.stablehlo")
+        with open(aot_path, "wb") as f:
+            f.write(data)
+        print(f"AOT artifact saved to {aot_path} ({len(data) / 1e6:.1f} MB)")
 
 
 if __name__ == "__main__":

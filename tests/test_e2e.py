@@ -233,3 +233,24 @@ def test_device_postprocess_matches_host_extraction():
     assert len(results) == out["num_instances"]
     if results:
         assert results[0]["uv"].shape[0] == 2
+
+
+def test_aot_export_roundtrip():
+    """jax.export AOT artifact: serialize the compiled pipeline, reload, and
+    get identical outputs — the analogue of loading the reference's .pt."""
+    import jax.numpy as jnp
+    from densepose_tpu.predictor import DensePosePredictor
+
+    cfg = _tiny_cfg()
+    cfg.freeze()
+    pred = DensePosePredictor(cfg, seed=0)
+    img = (np.random.RandomState(9).rand(48, 64, 3) * 255).astype(np.uint8)
+    direct = pred.predict_numpy(img)
+
+    data = pred.aot_export_bytes((48, 64))
+    assert len(data) > 1000
+    call = DensePosePredictor.aot_load(data)
+    out = call(pred.params, jnp.asarray(img))
+    aot = pred.numpy_outputs(out)
+    assert aot["num_instances"] == direct["num_instances"]
+    np.testing.assert_allclose(aot["pred_boxes"], direct["pred_boxes"], atol=1e-5)
