@@ -48,7 +48,7 @@ def keypoint_head_forward(
     """Returns keypoint heatmap logits (N, 4*res, 4*res, K)."""
     in_features: List[str] = list(cfg.MODEL.ROI_HEADS.IN_FEATURES)
     res = cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION
-    sampling = cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO or 2
+    sampling = cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO
     aligned = cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_TYPE == "ROIAlignV2"
     dims = list(cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS)
 

@@ -53,7 +53,7 @@ def mask_head_forward(
     """Returns per-detection sigmoid mask probabilities (N, 2*res, 2*res)."""
     in_features: List[str] = list(cfg.MODEL.ROI_HEADS.IN_FEATURES)
     res = cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION
-    sampling = cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO or 2
+    sampling = cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO
     aligned = cfg.MODEL.ROI_MASK_HEAD.POOLER_TYPE == "ROIAlignV2"
     num_conv = cfg.MODEL.ROI_MASK_HEAD.NUM_CONV
 

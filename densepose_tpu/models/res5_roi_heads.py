@@ -59,7 +59,7 @@ def res5_forward(
 
     in_feature = cfg.MODEL.ROI_HEADS.IN_FEATURES[0]
     res = cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION
-    sampling = cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO or 2
+    sampling = cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO
     aligned = cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE == "ROIAlignV2"
     stride_in_1x1 = cfg.MODEL.RESNETS.STRIDE_IN_1X1
     num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES

@@ -12,8 +12,17 @@ wraps at detectron2/layers/roi_align.py:7-74):
   ``[0, H-1]`` and the 4-tap lerp runs with weights from the unclamped
   fraction.
 * ``sampling_ratio > 0``: a static ratio x ratio sample grid per output bin,
-  averaged. (All shipped configs use 2 — conveniently static for XLA. The
-  adaptive ratio-0 mode is deliberately unsupported; the builder asserts.)
+  averaged. (All shipped DensePose poolers use 2 — conveniently static.)
+* ``sampling_ratio == 0`` (adaptive; used by the evolution configs' box
+  pooler and the mask/keypoint-head defaults, detectron2/config.py:372,417):
+  per-box ``ceil(roi_size / output_size)`` samples per bin, exactly as
+  torchvision. Sample *positions* may be traced per-box values under XLA;
+  only the sample *count* must be static, so we evaluate a fixed
+  ``_ADAPTIVE_CAP`` grid and mask samples beyond the per-box count. With FPN
+  level assignment (canonical 224/level 4) a clamped box spans at most
+  ~max_size/stride feature pixels, so counts never exceed the cap for the
+  7x7/14x14 poolers; gigantic single-level ROIs beyond the cap fall back to
+  the first ``cap`` uniformly spaced samples (documented approximation).
 
 Design: instead of the reference ROIPooler's boolean-indexed per-level
 dispatch (modeling/poolers.py:210-226, impossible under static shapes), all
@@ -49,19 +58,38 @@ def assign_boxes_to_levels(
     return lvl.astype(jnp.int32) - min_level
 
 
-def _axis_samples(start, bin_size, n_bins: int, grid: int, limit):
+_ADAPTIVE_CAP = 8  # static sample-grid bound for the adaptive (ratio 0) mode
+
+
+def _axis_samples(start, bin_size, n_bins: int, grid: int, limit, k=None):
     """Sample coordinates along one axis for every (bin, sub-sample).
 
-    start, bin_size, limit: (M,) per-box values. Returns
-    (coord (M, n_bins*grid), low_idx, high_idx, lerp, ok_mask)."""
+    start, bin_size, limit: (M,) per-box values. ``k`` (adaptive mode): (M,)
+    per-box samples-per-bin; samples with index >= k are masked out. Returns
+    (low_idx, high_idx, lerp, ok_mask), each (M, n_bins*grid) laid out so
+    ``[:, i::grid]`` selects sub-sample i across bins."""
     p = np.arange(n_bins, dtype=np.float32)  # bin index
-    g = (np.arange(grid, dtype=np.float32) + 0.5) / grid  # sub-sample offset
-    # (n_bins, grid) static fractional bin positions
-    frac = (p[:, None] + g[None, :]).reshape(-1)  # n_bins*grid
-    coord = start[:, None] + bin_size[:, None] * jnp.asarray(frac)[None, :]
+    if k is None:
+        g = (np.arange(grid, dtype=np.float32) + 0.5) / grid  # sub-sample offset
+        # (n_bins, grid) static fractional bin positions
+        frac = (p[:, None] + g[None, :]).reshape(-1)  # n_bins*grid
+        coord = start[:, None] + bin_size[:, None] * jnp.asarray(frac)[None, :]
+        svalid = None
+    else:
+        i = np.arange(grid, dtype=np.float32)
+        kf = jnp.maximum(k.astype(jnp.float32), 1.0)
+        sub = (jnp.asarray(i)[None, :] + 0.5) / kf[:, None]       # (M, grid)
+        frac = jnp.asarray(p)[None, :, None] + sub[:, None, :]    # (M, bins, grid)
+        coord = (start[:, None, None]
+                 + bin_size[:, None, None] * frac).reshape(start.shape[0], -1)
+        svalid = jnp.broadcast_to(
+            (jnp.asarray(i)[None, None, :] < k.astype(jnp.float32)[:, None, None]),
+            (start.shape[0], n_bins, grid)).reshape(start.shape[0], -1)
 
     lim = limit[:, None].astype(jnp.float32)
     ok = (coord >= -1.0) & (coord <= lim)
+    if svalid is not None:
+        ok = ok & svalid
     c = jnp.maximum(coord, 0.0)
     low = jnp.floor(c)
     # torchvision: if low >= H-1 -> low = high = H-1, lerp = 0
@@ -87,11 +115,9 @@ def roi_align_multilevel(
     input-image coordinates; levels: (M,) int32 in [0, L). Returns
     (M, out_h, out_w, C) in the feats dtype.
     """
-    assert sampling_ratio > 0, (
-        "adaptive sampling_ratio=0 is not implemented; all reference DensePose "
-        "configs use POOLER_SAMPLING_RATIO=2")
     out_h, out_w = output_size
-    g = sampling_ratio
+    adaptive = sampling_ratio <= 0
+    g = _ADAPTIVE_CAP if adaptive else sampling_ratio
     c = feats[0].shape[-1]
     dtype = feats[0].dtype
 
@@ -120,8 +146,15 @@ def roi_align_multilevel(
     bin_h = roi_h / out_h
     bin_w = roi_w / out_w
 
-    y_low, y_high, ly, y_ok = _axis_samples(start_h, bin_h, out_h, g, h_b)
-    x_low, x_high, lx, x_ok = _axis_samples(start_w, bin_w, out_w, g, w_b)
+    if adaptive:
+        # torchvision: grid = ceil(roi_size / pooled_size); count >= 1
+        k_h = jnp.minimum(jnp.ceil(bin_h), float(g))
+        k_w = jnp.minimum(jnp.ceil(bin_w), float(g))
+    else:
+        k_h = k_w = None
+
+    y_low, y_high, ly, y_ok = _axis_samples(start_h, bin_h, out_h, g, h_b, k_h)
+    x_low, x_high, lx, x_ok = _axis_samples(start_w, bin_w, out_w, g, w_b, k_w)
 
     m = boxes.shape[0]
     acc = jnp.zeros((m, out_h, out_w, c), dtype=jnp.float32)
@@ -154,7 +187,11 @@ def roi_align_multilevel(
             acc = acc + take(yl, xl) * w11 + take(yl, xh) * w12 \
                       + take(yh, xl) * w21 + take(yh, xh) * w22
 
-    acc = acc / float(g * g)
+    if adaptive:
+        count = jnp.maximum(k_h * k_w, 1.0)
+        acc = acc / count[:, None, None, None]
+    else:
+        acc = acc / float(g * g)
     return acc.astype(dtype)
 
 

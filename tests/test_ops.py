@@ -291,7 +291,8 @@ def test_batched_nms_is_per_class():
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize("aligned", [False, True])
-@pytest.mark.parametrize("out_size,ratio", [((7, 7), 2), ((14, 14), 2), ((5, 5), 1)])
+@pytest.mark.parametrize("out_size,ratio", [((7, 7), 2), ((14, 14), 2), ((5, 5), 1),
+                                            ((7, 7), 0), ((14, 14), 0)])
 def test_roi_align_single_level(aligned, out_size, ratio):
     feat = RNG.randn(24, 32, 8).astype(np.float32)
     boxes = np.array([
