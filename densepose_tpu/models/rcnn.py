@@ -95,11 +95,14 @@ class GeneralizedRCNN:
 
     # -- forward pieces -----------------------------------------------------
     def preprocess(self, image_u8: jnp.ndarray, orig_hw: Tuple[int, int],
-                   compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, Tuple[int, int], Tuple[int, int]]:
+                   compute_dtype=jnp.float32, min_size: int = None,
+                   max_size: int = None) -> Tuple[jnp.ndarray, Tuple[int, int], Tuple[int, int]]:
         """image_u8: (H0, W0, 3) uint8 BGR. Returns (padded image (Hp,Wp,3),
-        (h1, w1) resized size, (Hp, Wp))."""
+        (h1, w1) resized size, (Hp, Wp)). ``min_size``/``max_size`` override
+        the config's test resolution (static values; used by TTA views)."""
         h0, w0 = orig_hw
-        k, h1, w1 = compute_resize(h0, w0, self.min_size, self.max_size)
+        k, h1, w1 = compute_resize(h0, w0, min_size or self.min_size,
+                                   max_size or self.max_size)
         hp, wp = pad_to_divisible(h1, w1, size_divisibility(self.cfg))
 
         x = image_u8.astype(jnp.float32)
@@ -114,15 +117,18 @@ class GeneralizedRCNN:
         return x.astype(compute_dtype), (h1, w1), (hp, wp)
 
     def forward_stage1(self, params: Dict, image_u8: jnp.ndarray,
-                       compute_dtype=jnp.float32):
+                       compute_dtype=jnp.float32, min_size: int = None,
+                       max_size: int = None):
         """Preprocess -> backbone -> RPN -> box stage -> box postprocess.
         Returns (result dict without densepose, features, boxes_net) where
         ``boxes_net`` are the detection boxes in network (resized) coords used
-        by the DensePose pooler."""
+        by the DensePose pooler. ``min_size``/``max_size``: static test-
+        resolution override for TTA views."""
         from .roi_heads import box_stage_forward
         cfg = self.cfg
         h0, w0 = image_u8.shape[0], image_u8.shape[1]
-        x, (h1, w1), (hp, wp) = self.preprocess(image_u8, (h0, w0), compute_dtype)
+        x, (h1, w1), (hp, wp) = self.preprocess(image_u8, (h0, w0), compute_dtype,
+                                                min_size, max_size)
 
         _, bb_forward, _ = backbone_fns(cfg)
         features = bb_forward(params, x, cfg)

@@ -37,13 +37,18 @@ def load_predictor(model_path: str, weights: str, fp32: bool, opts):
         if opts:
             cfg.merge_from_list(opts)
         cfg.freeze()
-        return DensePosePredictor(cfg, weights_path=model_path)
-    # YAML config path
-    cfg.merge_from_file(model_path)
-    if opts:
-        cfg.merge_from_list(opts)
-    cfg.freeze()
-    return DensePosePredictor(cfg, weights_path=weights or None)
+        pred = DensePosePredictor(cfg, weights_path=model_path)
+    else:
+        # YAML config path
+        cfg.merge_from_file(model_path)
+        if opts:
+            cfg.merge_from_list(opts)
+        cfg.freeze()
+        pred = DensePosePredictor(cfg, weights_path=weights or None)
+    if cfg.TEST.AUG.ENABLED:
+        from densepose_tpu.tta import TTAPredictor
+        pred = TTAPredictor(pred)
+    return pred
 
 
 def main():
@@ -61,7 +66,11 @@ def main():
     args = parser.parse_args()
 
     if args.cpu:
+        # env var alone is not enough when jax was already imported by the
+        # interpreter startup (sitecustomize); set both
         os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import cv2  # noqa: E402
     from densepose_tpu.visualizer import End2EndVisualizer

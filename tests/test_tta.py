@@ -1,0 +1,130 @@
+"""Test-time augmentation (densepose_tpu/tta.py) — the capability behind the
+reference's TTA quick_schedule config, which it declares but cannot run."""
+
+import numpy as np
+import pytest
+
+from densepose_tpu import model_zoo
+from densepose_tpu.predictor import DensePosePredictor
+from densepose_tpu.tta import TTAPredictor
+
+TINY = [
+    "INPUT.MIN_SIZE_TEST", "64",
+    "INPUT.MAX_SIZE_TEST", "128",
+    "MODEL.RPN.PRE_NMS_TOPK_TEST", "100",
+    "MODEL.RPN.POST_NMS_TOPK_TEST", "40",
+    "TEST.DETECTIONS_PER_IMAGE", "3",
+]
+
+
+def _cfg(aug_opts):
+    cfg = model_zoo.get_config("densepose_rcnn_R_50_FPN_s1x").clone()
+    cfg.defrost()
+    cfg.merge_from_list(TINY + aug_opts)
+    cfg.freeze()
+    return cfg
+
+
+IMG = (np.random.RandomState(3).rand(48, 64, 3) * 255).astype(np.uint8)
+
+
+def test_single_view_tta_equals_base():
+    """One view, no flip -> TTA's detections reduce to plain inference, and
+    its densepose maps equal a given-box pass on the merged (postprocessed)
+    detections — the upstream-TTA semantics. (Exact equality with the plain
+    pipeline's maps is NOT expected: the plain path pools on the box stage's
+    *unclipped* network boxes, the reference's discarded-clip quirk; with
+    real checkpoints detections lie inside the image and the two agree.)"""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _cfg(["TEST.AUG.ENABLED", "True",
+                "TEST.AUG.MIN_SIZES", "(64,)",
+                "TEST.AUG.MAX_SIZE", "128",
+                "TEST.AUG.FLIP", "False"])
+    base = DensePosePredictor(cfg, seed=0)
+    tta = TTAPredictor(base)
+    want = base.predict_numpy(IMG)
+    got_dev = tta(IMG)
+    got = tta.numpy_outputs(got_dev)
+    assert got["num_instances"] == want["num_instances"]
+    np.testing.assert_allclose(got["pred_boxes"], want["pred_boxes"], atol=1e-4)
+
+    # densepose maps == given-box pass on the merged detections
+    from densepose_tpu.models.rcnn import compute_resize
+    _, feats, _ = jax.jit(base.model.forward_stage1)(base.params, jnp.asarray(IMG))
+    _, h1, w1 = compute_resize(48, 64, 64, 128)
+    boxes_net = got_dev["pred_boxes"] * jnp.asarray(
+        [w1 / 64, h1 / 48, w1 / 64, h1 / 48], jnp.float32)
+    ref = jax.jit(base.model.forward_densepose)(base.params, feats, boxes_net)
+    np.testing.assert_allclose(
+        np.asarray(got_dev["pred_densepose_u"], np.float32),
+        np.asarray(ref["pred_densepose_u"], np.float32), atol=1e-4, rtol=1e-4)
+
+
+def test_multi_scale_flip_tta_runs():
+    cfg = _cfg(["TEST.AUG.ENABLED", "True",
+                "TEST.AUG.MIN_SIZES", "(48, 64)",
+                "TEST.AUG.MAX_SIZE", "128",
+                "TEST.AUG.FLIP", "True"])
+    base = DensePosePredictor(cfg, seed=0)
+    tta = TTAPredictor(base)
+    out = tta.predict_numpy(IMG)
+    n = out["num_instances"]
+    assert 0 <= n <= cfg.TEST.DETECTIONS_PER_IMAGE
+    assert out["pred_boxes"].shape == (n, 4)
+    # SIUV maps averaged over the two non-flipped views
+    assert out["pred_densepose_u"].shape[1:] == (25, 112, 112) or \
+        out["pred_densepose_u"].shape[-1] == 112
+    # merged boxes stay inside the image
+    if n:
+        assert out["pred_boxes"][:, 0].min() >= 0
+        assert out["pred_boxes"][:, 2].max() <= 64
+
+
+def test_flip_box_merge_is_flip_invariant():
+    """A mirrored image through flip-enabled TTA must detect mirrored boxes:
+    feed IMG and its mirror; merged detections should correspond under
+    x -> W - x (same scores)."""
+    cfg = _cfg(["TEST.AUG.ENABLED", "True",
+                "TEST.AUG.MIN_SIZES", "(64,)",
+                "TEST.AUG.MAX_SIZE", "128",
+                "TEST.AUG.FLIP", "True"])
+    tta = TTAPredictor(DensePosePredictor(cfg, seed=0))
+    a = tta.predict_numpy(IMG)
+    b = tta.predict_numpy(IMG[:, ::-1, :].copy())
+    assert a["num_instances"] == b["num_instances"]
+    if a["num_instances"]:
+        np.testing.assert_allclose(
+            np.sort(a["scores"]), np.sort(b["scores"]), atol=1e-4)
+        mirrored = np.stack([64 - b["pred_boxes"][:, 2], b["pred_boxes"][:, 1],
+                             64 - b["pred_boxes"][:, 0], b["pred_boxes"][:, 3]],
+                            axis=1)
+        np.testing.assert_allclose(
+            np.sort(a["pred_boxes"], axis=0), np.sort(mirrored, axis=0),
+            atol=1e-3)
+
+
+def test_tta_cli_flow(tmp_path):
+    """run.py picks up TEST.AUG.ENABLED from the config (the reference's TTA
+    quick_schedule) and routes through TTAPredictor."""
+    import os
+    import subprocess
+    import sys
+
+    cv2 = pytest.importorskip("cv2")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    img_path = str(tmp_path / "in.jpg")
+    cv2.imwrite(img_path, (np.random.RandomState(0).rand(48, 64, 3) * 255
+                           ).astype(np.uint8))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "run.py"),
+         "/root/reference/configs/quick_schedules/"
+         "densepose_rcnn_R_50_FPN_TTA_inference_acc_test.yaml", img_path,
+         "--cpu", "--opts"] + TINY + [
+             "TEST.AUG.MIN_SIZES", "(48, 64)", "TEST.AUG.MAX_SIZE", "128",
+             "MODEL.WEIGHTS", ""],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(str(tmp_path / "in_pred.jpg")), r.stdout
