@@ -113,6 +113,11 @@ def batched_nms_mask(
     v = valid[order]
     c = idxs[order]
 
+    if _use_pallas():
+        from .pallas.nms_kernel import nms_keep_pallas
+        keep = nms_keep_pallas(b, v, float(iou_threshold), classes_sorted=c)
+        return jnp.zeros((k,), dtype=bool).at[order].set(keep)
+
     iou = pairwise_iou(b, b)
     row = jnp.arange(k)[:, None]
     col = jnp.arange(k)[None, :]

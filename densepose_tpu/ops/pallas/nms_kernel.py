@@ -28,11 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _nms_kernel(boxes_ref, valid_ref, keep_ref, sup_ref, *,
-                iou_threshold: float, k: int):
+                iou_threshold: float, k: int, classed: bool):
     x1 = boxes_ref[0:1, :]
     y1 = boxes_ref[1:2, :]
     x2 = boxes_ref[2:3, :]
     y2 = boxes_ref[3:4, :]
+    cls = boxes_ref[4:5, :] if classed else None
     areas = (x2 - x1) * (y2 - y1)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     valid = valid_ref[0:1, :]
@@ -62,6 +63,9 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, sup_ref, *,
         iou = jnp.where(union > 0, inter / union, 0.0)
 
         hit = keep_i & (iou > iou_threshold) & (col > i)
+        if classed:
+            # class-offset batched NMS: only same-class boxes suppress
+            hit = hit & (cls == sel(cls))
         sup_ref[0:1, :] = jnp.where(hit, 1.0, sup_row)
         return 0
 
@@ -71,14 +75,22 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, sup_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold",))
 def nms_keep_pallas(boxes_sorted: jnp.ndarray, valid_sorted: jnp.ndarray,
-                    iou_threshold: float) -> jnp.ndarray:
+                    iou_threshold: float,
+                    classes_sorted: jnp.ndarray = None) -> jnp.ndarray:
     """boxes_sorted: (K, 4) fp32 score-descending; valid_sorted: (K,) bool.
-    Returns keep mask (K,) bool in the sorted order."""
+    ``classes_sorted`` (K,) optional: class-aware (batched) NMS — boxes of
+    different classes never suppress each other. Returns keep mask (K,) bool
+    in the sorted order."""
     k = boxes_sorted.shape[0]
+    classed = classes_sorted is not None
     boxes_t = boxes_sorted.astype(jnp.float32).T  # (4, K)
+    if classed:
+        boxes_t = jnp.concatenate(
+            [boxes_t, classes_sorted.astype(jnp.float32)[None, :]], axis=0)
     valid_f = valid_sorted.astype(jnp.float32)[None, :]  # (1, K)
     keep = pl.pallas_call(
-        functools.partial(_nms_kernel, iou_threshold=float(iou_threshold), k=k),
+        functools.partial(_nms_kernel, iou_threshold=float(iou_threshold), k=k,
+                          classed=classed),
         out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

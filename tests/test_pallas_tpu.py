@@ -41,3 +41,37 @@ def test_pallas_nms_valid_mask():
     valid = jnp.asarray([True] * 8 + [False] * 8)
     keep = np.asarray(nms_keep_pallas(boxes, valid, 0.5))
     assert keep[0] and not keep[1:8].any() and not keep[8:].any()
+
+
+def test_pallas_classed_nms_matches_xla_fixpoint():
+    """Class-aware Pallas NMS == the XLA fixed-point batched_nms_mask (which
+    is golden-tested against numpy greedy NMS per class in test_ops.py)."""
+    from densepose_tpu.ops import nms as nms_mod
+    from densepose_tpu.ops.pallas.nms_kernel import nms_keep_pallas
+
+    rng = np.random.RandomState(1)
+    k = 256
+    ctr = rng.rand(k, 2).astype(np.float32) * 60
+    wh = rng.rand(k, 2).astype(np.float32) * 30 + 1
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], 1)
+    scores = rng.rand(k).astype(np.float32)
+    classes = rng.randint(0, 3, size=k).astype(np.int32)
+    valid = rng.rand(k) > 0.1
+
+    order = np.argsort(-scores, kind="stable")
+    keep_sorted = np.asarray(nms_keep_pallas(
+        jnp.asarray(boxes[order]), jnp.asarray(valid[order]), 0.5,
+        classes_sorted=jnp.asarray(classes[order])))
+    got = np.zeros(k, bool)
+    got[order] = keep_sorted
+
+    # force the XLA path for the oracle
+    old = nms_mod._PALLAS_OK
+    nms_mod._PALLAS_OK = False
+    try:
+        want = np.asarray(nms_mod.batched_nms_mask(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+            jnp.asarray(valid), 0.5))
+    finally:
+        nms_mod._PALLAS_OK = old
+    np.testing.assert_array_equal(got, want)
