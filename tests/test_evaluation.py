@@ -51,3 +51,155 @@ def test_check_expected_results():
     assert len(bad) == 1
     missing = check_expected_results(results, [("densepose_gps", "AP", 60.11, 0.02)])
     assert "not computed" in missing[0]
+
+
+# ---------------------------------------------------------------------------
+# DensePose GPS / GPSm AP
+# ---------------------------------------------------------------------------
+
+def _make_gt(box_xywh, n_pts=20, seed=0, part=3):
+    rng = np.random.RandomState(seed)
+    return {
+        "bbox": np.asarray(box_xywh, float),
+        "dp_x": rng.rand(n_pts) * 255,
+        "dp_y": rng.rand(n_pts) * 255,
+        "dp_I": np.full(n_pts, part, dtype=np.int64),
+        "dp_U": rng.rand(n_pts),
+        "dp_V": rng.rand(n_pts),
+    }
+
+
+def _pred_from_gt(ann, h=56, w=56):
+    """Construct a detection whose IUV maps reproduce the GT points exactly."""
+    gx, gy, gw, gh = ann["bbox"]
+    labels = np.zeros((h, w), np.int64)
+    uv = np.zeros((2, h, w), np.float64)
+    ix = np.clip((ann["dp_x"] / 255.0 * w).astype(int), 0, w - 1)
+    iy = np.clip((ann["dp_y"] / 255.0 * h).astype(int), 0, h - 1)
+    labels[iy, ix] = ann["dp_I"]
+    uv[0, iy, ix] = ann["dp_U"]
+    uv[1, iy, ix] = ann["dp_V"]
+    return labels, uv
+
+
+def test_densepose_gps_perfect_is_ap100():
+    from densepose_tpu.evaluation import densepose_ap
+    ann = _make_gt([10, 20, 80, 120])
+    labels, uv = _pred_from_gt(ann)
+    # prediction box == GT box -> grid lookups land on the seeded pixels
+    preds = [{
+        "pred_boxes_xywh": np.array([ann["bbox"]]),
+        "scores": np.array([0.9]),
+        "labels": [labels],
+        "uv": [uv],
+    }]
+    res = densepose_ap(preds, [[ann]], mode="gps")
+    assert res["AP"] > 99.0
+
+
+def test_densepose_gps_wrong_parts_fail():
+    from densepose_tpu.evaluation import densepose_ap
+    ann = _make_gt([10, 20, 80, 120])
+    labels, uv = _pred_from_gt(ann)
+    preds = [{
+        "pred_boxes_xywh": np.array([ann["bbox"]]),
+        "scores": np.array([0.9]),
+        "labels": [np.where(labels > 0, labels + 1, 0)],  # every part wrong
+        "uv": [uv],
+    }]
+    res = densepose_ap(preds, [[ann]], mode="gps")
+    assert res["AP"] < 1.0
+
+
+def test_densepose_gps_degrades_with_uv_error():
+    from densepose_tpu.evaluation import densepose_ap
+    ann = _make_gt([0, 0, 100, 100])
+    labels, uv = _pred_from_gt(ann)
+    good = densepose_ap([{
+        "pred_boxes_xywh": np.array([ann["bbox"]]), "scores": np.array([0.9]),
+        "labels": [labels], "uv": [uv]}], [[ann]])["AP"]
+    noisy = densepose_ap([{
+        "pred_boxes_xywh": np.array([ann["bbox"]]), "scores": np.array([0.9]),
+        "labels": [labels], "uv": [uv + 0.35]}], [[ann]])["AP"]
+    assert good > noisy
+
+
+def test_densepose_gpsm_uses_mask():
+    from densepose_tpu.evaluation import densepose_ap
+    ann = _make_gt([0, 0, 100, 100])
+    ann["mask"] = np.ones((32, 32), bool)  # GT: whole box is foreground
+    labels, uv = _pred_from_gt(ann)
+    sparse = densepose_ap([{
+        "pred_boxes_xywh": np.array([ann["bbox"]]), "scores": np.array([0.9]),
+        "labels": [labels], "uv": [uv]}], [[ann]], mode="gpsm")["AP"]
+    full_labels = np.where(labels > 0, labels, 3)  # fg everywhere
+    dense = densepose_ap([{
+        "pred_boxes_xywh": np.array([ann["bbox"]]), "scores": np.array([0.9]),
+        "labels": [full_labels], "uv": [uv]}], [[ann]], mode="gpsm")["AP"]
+    assert dense > sparse  # mask IoU rewards covering the GT mask
+
+
+def test_custom_geodist_plugs_in():
+    from densepose_tpu.evaluation import densepose_ap
+    ann = _make_gt([0, 0, 100, 100])
+    labels, uv = _pred_from_gt(ann)
+    calls = {}
+
+    def geo(i1, u1, v1, i2, u2, v2):
+        calls["n"] = calls.get("n", 0) + np.size(i1)
+        return np.zeros(np.shape(i1))  # everything matches perfectly
+
+    res = densepose_ap([{
+        "pred_boxes_xywh": np.array([ann["bbox"]]), "scores": np.array([0.9]),
+        "labels": [np.zeros_like(labels)], "uv": [uv * 0]}], [[ann]],
+        geodist=geo)
+    assert calls["n"] == 20
+    assert res["AP"] > 99.0
+
+
+def test_evaluate_cli_flow(tmp_path):
+    """evaluate.py runs a model over a tiny synthetic COCO-DensePose dataset
+    and reports bbox + densepose_gps/gpsm AP JSON."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pytest
+    cv2 = pytest.importorskip("cv2")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    for i in range(2):
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(img_dir / name), (rng.rand(48, 64, 3) * 255).astype(np.uint8))
+        images.append({"id": i, "file_name": name, "height": 48, "width": 64})
+        annotations.append({
+            "id": i, "image_id": i, "category_id": 1,
+            "bbox": [8, 8, 30, 30],
+            "dp_x": (rng.rand(6) * 255).tolist(),
+            "dp_y": (rng.rand(6) * 255).tolist(),
+            "dp_I": [3] * 6,
+            "dp_U": rng.rand(6).tolist(),
+            "dp_V": rng.rand(6).tolist(),
+        })
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps({"images": images, "annotations": annotations}))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "evaluate.py"),
+         "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml",
+         str(ann_path), str(img_dir), "--opts",
+         "INPUT.MIN_SIZE_TEST", "64", "INPUT.MAX_SIZE_TEST", "128",
+         "MODEL.RPN.PRE_NMS_TOPK_TEST", "100",
+         "MODEL.RPN.POST_NMS_TOPK_TEST", "40",
+         "TEST.DETECTIONS_PER_IMAGE", "3"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout[r.stdout.index("{"):])
+    for task in ("bbox", "densepose_gps", "densepose_gpsm"):
+        assert "AP" in out[task], out
