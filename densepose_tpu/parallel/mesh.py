@@ -49,3 +49,38 @@ def data_parallel_forward(model, mesh: Mesh, compute_dtype=None):
         in_shardings=(param_sharding, img_sharding),
         out_shardings=out_sharding,
     )
+
+
+def make_mesh_2d(n_data: int, n_space: int) -> Mesh:
+    """(data, space) mesh for combined frame + within-frame sharding."""
+    devs = np.array(jax.devices()[:n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(devs, axis_names=("data", "space"))
+
+
+def spatial_parallel_forward(model, mesh: Mesh, axis: str = "space",
+                             compute_dtype=None):
+    """Within-image spatial sharding (SURVEY.md section 2.7's 'optional
+    within-image spatial sharding of the backbone for large inputs').
+
+    The input image's ROW axis is sharded over the mesh's ``axis``; params
+    are replicated. XLA GSPMD partitions the resize + every convolution
+    spatially, inserting the halo exchanges (collective-permutes over ICI)
+    that a hand-written distributed conv would need, and gathers the small
+    tensors (proposals, detections) where the data-dependent stages demand
+    a global view. Outputs are replicated.
+
+    Use when a single frame is too large or too slow for one chip; for
+    throughput over many frames prefer data_parallel_forward (no collectives
+    at all). The input height must be divisible by the axis size.
+    """
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.float32
+    img_sharding = NamedSharding(mesh, P(axis))
+    param_sharding = NamedSharding(mesh, P())
+    out_sharding = NamedSharding(mesh, P())
+    return jax.jit(
+        partial(model.forward, compute_dtype=dtype),
+        in_shardings=(param_sharding, img_sharding),
+        out_shardings=out_sharding,
+    )

@@ -87,3 +87,23 @@ def test_predict_batch_api(setup):
     frames8 = (np.random.RandomState(6).rand(8, 48, 64, 3) * 255).astype(np.uint8)
     out8 = pred.predict_batch(frames8)  # mesh path
     assert out8["pred_boxes"].shape[0] == 8
+
+
+def test_spatial_sharding_equals_single_device(setup):
+    """Within-image spatial sharding: row-sharded input through GSPMD conv
+    partitioning must reproduce the single-device result."""
+    from densepose_tpu.parallel.mesh import make_mesh_2d, spatial_parallel_forward
+
+    cfg, model, params = setup
+    mesh = make_mesh_2d(1, 8)
+    fwd = spatial_parallel_forward(model, mesh)
+    frame = (np.random.RandomState(2).rand(48, 64, 3) * 255).astype(np.uint8)
+    out = fwd(params, jnp.asarray(frame))
+    ref = jax.jit(model.forward)(params, jnp.asarray(frame))
+    np.testing.assert_allclose(np.asarray(out["pred_boxes"]),
+                               np.asarray(ref["pred_boxes"]), atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out["valid"]),
+                                  np.asarray(ref["valid"]))
+    np.testing.assert_allclose(np.asarray(out["pred_densepose_u"]),
+                               np.asarray(ref["pred_densepose_u"]),
+                               atol=2e-3, rtol=1e-2)
