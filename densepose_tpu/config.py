@@ -471,6 +471,10 @@ def _detectron2_defaults() -> CfgNode:
     # after box-resize (<=1px boundary shift); set False for the reference's
     # exact resize-then-argmax host path.
     _C.TPU.DEVICE_POSTPROCESS = False
+    # Run the WC predictors' confidence deconvs and emit the raw maps
+    # (pred_densepose_{sigma_2,kappa_u,kappa_v,*_segm_confidence}). The
+    # reference loads these weights but never runs them (README:9).
+    _C.TPU.EMIT_CONFIDENCES = False
     return _C
 
 

@@ -403,12 +403,29 @@ def densepose_predictor_forward(
         h, w = int(y.shape[-3] * up), int(y.shape[-2] * up)
         return resize_bilinear(y, (h, w), scale=(up, up))
 
-    return {
+    out = {
         "coarse_segm": head("ann_index_lowres"),
         "fine_segm": head("index_uv_lowres"),
         "u": head("u_lowres"),
         "v": head("v_lowres"),
     }
+    # Beyond-reference opt-in: the reference *loads* the WC confidence deconv
+    # weights but never runs them (chart_with_confidence.py:91-109, README:9
+    # "no confidence estimation"). TPU.EMIT_CONFIDENCES=True runs them and
+    # emits the raw upsampled maps (interpretation — e.g. softplus + eps as
+    # in upstream detectron2 losses — is left to the consumer).
+    if (getattr(cfg.TPU, "EMIT_CONFIDENCES", False)
+            and cfg.MODEL.ROI_DENSEPOSE_HEAD.PREDICTOR_NAME
+            == "DensePoseChartWithConfidencePredictor"):
+        if cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.ENABLED:
+            out["sigma_2"] = head("sigma_2_lowres")
+            if cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.TYPE == "indep_aniso":
+                out["kappa_u"] = head("kappa_u_lowres")
+                out["kappa_v"] = head("kappa_v_lowres")
+        if cfg.MODEL.ROI_DENSEPOSE_HEAD.SEGM_CONFIDENCE.ENABLED:
+            out["fine_segm_confidence"] = head("fine_segm_confidence_lowres")
+            out["coarse_segm_confidence"] = head("coarse_segm_confidence_lowres")
+    return out
 
 
 def densepose_stage_forward(

@@ -199,3 +199,18 @@ def test_multimesh_animal_cse_runs():
     out = jax.tree_util.tree_map(
         np.asarray, jax.jit(model.forward)(params, jnp.asarray(img)))
     assert out["pred_densepose_embedding"].shape[-1] == cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBED_SIZE
+
+
+def test_emit_confidences_optin():
+    """TPU.EMIT_CONFIDENCES runs the WC confidence deconvs the reference
+    loads-but-drops and emits their maps; default stays reference-faithful."""
+    cfg = _tiny("densepose_rcnn_R_50_FPN_WC2M_s1x").clone()
+    cfg.defrost()
+    cfg.TPU.EMIT_CONFIDENCES = True
+    cfg.freeze()
+    out = _run(cfg)
+    for k in ("sigma_2", "kappa_u", "kappa_v",
+              "fine_segm_confidence", "coarse_segm_confidence"):
+        assert f"pred_densepose_{k}" in out, sorted(out)
+    assert out["pred_densepose_sigma_2"].shape == (3, 112, 112, 25)
+    assert out["pred_densepose_fine_segm_confidence"].shape == (3, 112, 112, 1)
