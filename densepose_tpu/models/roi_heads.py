@@ -325,6 +325,15 @@ def decoder_forward(
 def _v1convx_forward(p: Dict, x: jnp.ndarray, cfg, prefix: str) -> jnp.ndarray:
     n = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
     pad = cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_KERNEL // 2
+    if getattr(cfg.TPU, "INT8_HEAD", False):
+        # quantized serving mode: the stacked convs are ~80% of the
+        # per-detection FLOPs; s8 runs at 2x the bf16 MXU rate
+        from ..ops.conv import conv2d_int8
+        for i in range(n):
+            x = jax.nn.relu(conv2d_int8(
+                x, p[f"{prefix}.body_conv_fcn{i + 1}.weight"],
+                p[f"{prefix}.body_conv_fcn{i + 1}.bias"], padding=pad))
+        return x
     for i in range(n):
         x = jax.nn.relu(conv2d(x, p[f"{prefix}.body_conv_fcn{i + 1}.weight"],
                                p[f"{prefix}.body_conv_fcn{i + 1}.bias"], padding=pad))

@@ -214,3 +214,22 @@ def test_emit_confidences_optin():
         assert f"pred_densepose_{k}" in out, sorted(out)
     assert out["pred_densepose_sigma_2"].shape == (3, 112, 112, 25)
     assert out["pred_densepose_fine_segm_confidence"].shape == (3, 112, 112, 1)
+
+
+def test_int8_head_close_to_fp32():
+    """TPU.INT8_HEAD: quantized head output stays close to fp32 (PTQ with
+    per-channel weight scales); detections are bit-identical (the head only
+    feeds the DensePose maps)."""
+    cfg = _tiny("densepose_rcnn_R_50_FPN_s1x")
+    out_fp = _run(cfg)
+    cfg8 = cfg.clone()
+    cfg8.defrost()
+    cfg8.TPU.INT8_HEAD = True
+    cfg8.freeze()
+    out_q = _run(cfg8)
+    np.testing.assert_array_equal(out_q["pred_boxes"], out_fp["pred_boxes"])
+    a = out_fp["pred_densepose_u"].astype(np.float64).ravel()
+    b = out_q["pred_densepose_u"].astype(np.float64).ravel()
+    denom = np.linalg.norm(a) + 1e-9
+    rel = np.linalg.norm(a - b) / denom
+    assert rel < 0.05, f"relative error {rel:.4f}"
