@@ -53,6 +53,9 @@ def main():
     opts = [
         "MODEL.ROI_HEADS.SCORE_THRESH_TEST", "0.3",
         "TPU.COMPUTE_DTYPE", os.environ.get("BENCH_DTYPE", "bfloat16"),
+        # BENCH_INT8=1: the quantized serving mode (README "int8"); the
+        # default headline stays bf16 — exact reference numerics
+        "TPU.INT8_HEAD", "True" if os.environ.get("BENCH_INT8") else "False",
     ]
     cfg = load_config(cfg_path, opts)
 

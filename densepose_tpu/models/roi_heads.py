@@ -371,9 +371,13 @@ def _deeplab_forward(p: Dict, x: jnp.ndarray, cfg, prefix: str) -> jnp.ndarray:
     y = jnp.concatenate(branches, axis=-1)
     y = jax.nn.relu(conv2d(y, p[f"{prefix}.ASPP.project.0.weight"]))
 
+    if getattr(cfg.TPU, "INT8_HEAD", False):
+        from ..ops.conv import conv2d_int8 as _conv
+    else:
+        _conv = conv2d
     for i in range(n):
         name = f"{prefix}.body_conv_fcn{i + 1}"
-        y = conv2d(y, p[f"{name}.weight"], p.get(f"{name}.bias"), padding=pad)
+        y = _conv(y, p[f"{name}.weight"], p.get(f"{name}.bias"), padding=pad)
         if norm == "GN":
             y = group_norm(y, p[f"{name}.norm.weight"], p[f"{name}.norm.bias"], 32)
         y = jax.nn.relu(y)
