@@ -73,6 +73,10 @@ def main():
 
     iters = int(os.environ.get("BENCH_ITERS", "48"))
     rng = np.random.RandomState(0)
+    # warmup + latency-probe frames are DISJOINT from the timed set, so no
+    # timed iteration ever repeats an input the stack may have cached
+    aux_frames = [(rng.rand(720, 1280, 3) * 255).astype(np.uint8)
+                  for _ in range(7)]
     host_frames = [(rng.rand(720, 1280, 3) * 255).astype(np.uint8)
                    for _ in range(iters)]
 
@@ -81,12 +85,12 @@ def main():
     jax.block_until_ready(frames)
 
     # warmup: compile forward + checksum, then one true sync
-    _ = np.asarray(checksum(fn(pred.params, frames[0])))
+    _ = np.asarray(checksum(fn(pred.params, jnp.asarray(aux_frames[0]))))
 
     # serial end-to-end latency (includes host->device upload of the uint8
     # frame and the result fetch through whatever link is attached)
     lat = []
-    for f in host_frames[:6]:
+    for f in aux_frames[1:]:
         t0 = time.perf_counter()
         out = fn(pred.params, jnp.asarray(f))
         _ = np.asarray(checksum(out))
@@ -119,7 +123,7 @@ def main():
         return result
 
     fsp = jax.jit(lambda p, img: checksum(sparse_fwd(p, img)))
-    _ = np.asarray(fsp(pred.params, frames[0]))
+    _ = np.asarray(fsp(pred.params, jnp.asarray(aux_frames[0])))
     t0 = time.perf_counter()
     sums = [fsp(pred.params, f) for f in frames]
     _ = np.asarray(jnp.sum(jnp.stack(sums)))

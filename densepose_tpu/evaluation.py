@@ -156,6 +156,55 @@ def _instance_gps(labels: np.ndarray, uv: np.ndarray, box_xywh: np.ndarray,
     return float(np.mean(np.exp(-np.asarray(d) ** 2 / (2 * kappa ** 2))))
 
 
+def rle_decode(rle: Dict) -> np.ndarray:
+    """Decode a COCO RLE dict {counts, size} to a binary (h, w) mask.
+    Handles both uncompressed (list of ints) and compressed (the pycocotools
+    LEB128-style string) counts; column-major run order per the COCO spec."""
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, str):
+        counts = counts.encode()
+    if isinstance(counts, bytes):
+        decoded, i = [], 0
+        while i < len(counts):
+            x, k, more = 0, 0, True
+            while more:
+                c = counts[i] - 48
+                x |= (c & 0x1F) << (5 * k)
+                more = bool(c & 0x20)
+                i += 1
+                k += 1
+                if not more and (c & 0x10):
+                    x |= -1 << (5 * k)
+            if len(decoded) > 2:
+                x += decoded[-2]
+            decoded.append(x)
+        counts = decoded
+    vals = np.zeros(sum(counts), dtype=bool)
+    pos, v = 0, False
+    for run in counts:
+        if v:
+            vals[pos:pos + run] = True
+        pos += run
+        v = not v
+    return vals.reshape(w, h).T  # column-major
+
+
+def _gt_mask_from_ann(ann: Dict):
+    """GT foreground mask for GPSm: ``mask`` (binary array) or COCO
+    ``dp_masks`` (list of per-part RLEs on a 256x256 grid; union)."""
+    if "mask" in ann:
+        return np.asarray(ann["mask"], dtype=bool)
+    if "dp_masks" in ann:
+        parts = [rle_decode(r) for r in ann["dp_masks"] if r]
+        if parts:
+            out = parts[0]
+            for m in parts[1:]:
+                out = out | m
+            return out
+    return None
+
+
 def _mask_iou(labels: np.ndarray, box_xywh, gt_mask: np.ndarray, gt_box) -> float:
     """IoU between the detection's foreground (labels > 0) and the GT mask
     (binary array on the GT box), both rasterized on the detection grid."""
@@ -188,36 +237,53 @@ def densepose_ap(
     predictions: per image, the extractor's view of the outputs —
     ``pred_boxes_xywh`` (N,4), ``scores`` (N,), ``labels`` list of (H,W) part
     maps, ``uv`` list of (2,H,W) maps. annotations: per image, list of GT
-    dicts (``bbox`` xywh, dp_x/dp_y/dp_I/dp_U/dp_V, optional ``mask`` +
-    its implicit box = ``bbox``). Returns {"AP", "AP50", "AP75"} in percent.
+    dicts (``bbox`` xywh, dp_x/dp_y/dp_I/dp_U/dp_V; for GPSm a GT mask on the
+    ``bbox`` grid as binary ``mask`` or COCO ``dp_masks`` per-part RLEs —
+    without one, GPSm degrades to GPS for that instance). GT entries without
+    dp points are ignore regions: detections overlapping them (IoU >= 0.5)
+    count neither as TP nor FP. Returns {"AP", "AP50", "AP75"} in percent.
     """
     assert mode in ("gps", "gpsm"), mode
-    per_image_sim = []  # (scores (N,), sim (N, M))
+    per_image_sim = []  # (scores (N,), sim (N, M), det_ignore (N,))
     n_gt_total = 0
     for pred, anns in zip(predictions, annotations):
         boxes = np.asarray(pred["pred_boxes_xywh"], dtype=np.float64).reshape(-1, 4)
         scores = np.asarray(pred["scores"], dtype=np.float64).reshape(-1)
-        anns = [a for a in anns if len(np.atleast_1d(a.get("dp_x", ())))]
-        n_gt_total += len(anns)
-        sim = np.zeros((len(boxes), len(anns)))
+        # GTs without dp points are IGNORE regions (upstream sets
+        # gt['ignore'] for them): detections on those people count neither
+        # as TP nor FP
+        dp_anns = [a for a in anns if len(np.atleast_1d(a.get("dp_x", ())))]
+        ign_boxes = np.array([a["bbox"] for a in anns
+                              if not len(np.atleast_1d(a.get("dp_x", ())))],
+                             dtype=np.float64).reshape(-1, 4)
+        n_gt_total += len(dp_anns)
+        det_ignore = np.zeros(len(boxes), dtype=bool)
+        if len(ign_boxes) and len(boxes):
+            a_xyxy = boxes.copy()
+            a_xyxy[:, 2:] += a_xyxy[:, :2]
+            b_xyxy = ign_boxes.copy()
+            b_xyxy[:, 2:] += b_xyxy[:, :2]
+            iou = _box_iou_matrix(a_xyxy, b_xyxy)
+            det_ignore = iou.max(axis=1) >= 0.5
+        sim = np.zeros((len(boxes), len(dp_anns)))
         for di in range(len(boxes)):
-            for gi, ann in enumerate(anns):
+            for gi, ann in enumerate(dp_anns):
                 g = _instance_gps(pred["labels"][di], pred["uv"][di],
                                   boxes[di], ann, geodist, kappa)
                 if mode == "gpsm":
-                    if "mask" in ann:
+                    gt_mask = _gt_mask_from_ann(ann)
+                    if gt_mask is not None:
                         miou = _mask_iou(pred["labels"][di], boxes[di],
-                                         np.asarray(ann["mask"]), ann["bbox"])
-                    else:
-                        miou = 1.0
-                    g = float(np.sqrt(max(g, 0.0) * miou))
+                                         gt_mask, ann["bbox"])
+                        g = float(np.sqrt(max(g, 0.0) * miou))
+                    # no GT mask -> GPSm degrades to GPS (never inflated)
                 sim[di, gi] = 0.0 if np.isnan(g) else g
-        per_image_sim.append((scores, sim))
+        per_image_sim.append((scores, sim, det_ignore))
 
     aps = []
     for thresh in IOU_THRESHOLDS:
         all_scores, all_matched = [], []
-        for scores, sim in per_image_sim:
+        for scores, sim, det_ignore in per_image_sim:
             matched = np.zeros(len(scores), dtype=bool)
             taken = np.zeros(sim.shape[1], dtype=bool)
             for i in np.argsort(-scores, kind="stable"):
@@ -226,8 +292,10 @@ def densepose_ap(
                     if not taken[j] and sim[i, j] >= thresh:
                         matched[i] = True
                         taken[j] = True
-            all_scores.append(scores)
-            all_matched.append(matched)
+            # unmatched detections on ignore regions leave the pool
+            keep = matched | ~det_ignore
+            all_scores.append(scores[keep])
+            all_matched.append(matched[keep])
         if n_gt_total == 0:
             aps.append(float("nan"))
             continue

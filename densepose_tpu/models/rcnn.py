@@ -230,10 +230,15 @@ class GeneralizedRCNN:
         uv = jnp.stack([jnp.where(fg, u_sel, 0), jnp.where(fg, v_sel, 0)], axis=-1)
         # labels fit in uint8 (<= 24 parts) and UV in half precision — the
         # host only colormaps/rescales these, so shrink the transfer 4x
-        return {
+        out = {
             "pred_densepose_labels": labels.astype(jnp.uint8),
             "pred_densepose_uv": uv.astype(jnp.float16),
         }
+        # extra maps (TPU.EMIT_CONFIDENCES) ride through untouched
+        siuv = {"pred_densepose_coarse_segm", "pred_densepose_fine_segm",
+                "pred_densepose_u", "pred_densepose_v"}
+        out.update({k: v_ for k, v_ in dp.items() if k not in siuv})
+        return out
 
     def forward(self, params: Dict, image_u8: jnp.ndarray,
                 compute_dtype=jnp.float32,

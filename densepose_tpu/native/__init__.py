@@ -16,6 +16,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -28,6 +29,7 @@ _CACHE = os.path.expanduser(
 
 _lib = None
 _tried = False
+_build_lock = threading.Lock()  # extractor threads race the first build
 
 
 def _build() -> Optional[ctypes.CDLL]:
@@ -37,10 +39,12 @@ def _build() -> Optional[ctypes.CDLL]:
                 or os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
             os.makedirs(_CACHE, exist_ok=True)
             cc = os.environ.get("CC", "cc")
+            # per-pid tmp name: concurrent processes never write the same file
+            tmp = f"{so_path}.{os.getpid()}.tmp"
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", so_path + ".tmp", _SRC, "-lm"],
+                [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC, "-lm"],
                 check=True, capture_output=True)
-            os.replace(so_path + ".tmp", so_path)
+            os.replace(tmp, so_path)
         lib = ctypes.CDLL(so_path)
         lib.resample_instance.restype = None
         lib.resample_instance.argtypes = [
@@ -59,8 +63,10 @@ def _build() -> Optional[ctypes.CDLL]:
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if not _tried:
-        _lib = _build()
-        _tried = True
+        with _build_lock:
+            if not _tried:
+                _lib = _build()
+                _tried = True
     return _lib
 
 

@@ -28,6 +28,20 @@ except Exception:  # pragma: no cover
     HAS_CV2 = False
 
 
+_POOL = None
+
+
+def _extract_pool():
+    """Process-wide extraction thread pool (lazy; numpy/C work releases the
+    GIL, so threads give real parallelism for crowded frames)."""
+    global _POOL
+    if _POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _POOL = ThreadPoolExecutor(max_workers=8,
+                                   thread_name_prefix="dp-extract")
+    return _POOL
+
+
 def _resize_bilinear_np(x: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     """(H, W, C) float32 -> (h, w, C), torch align_corners=False semantics
     (same rule as ops/resize.py, numpy edition for the host stage)."""
@@ -125,10 +139,10 @@ class DensePoseResultExtractor:
             return {"labels": labels, "uv": uv}
 
         if n > 4:
-            # per-instance extraction is independent; numpy/C release the GIL
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=min(8, n)) as pool:
-                results = list(pool.map(extract, range(n)))
+            # per-instance extraction is independent; numpy/C release the GIL.
+            # One persistent pool — spawning threads per video frame would
+            # cost more than the parallelism buys.
+            results = list(_extract_pool().map(extract, range(n)))
         else:
             results = [extract(i) for i in range(n)]
         return results, boxes_xywh

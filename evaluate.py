@@ -96,14 +96,16 @@ def main():
         print(f"image {idx + 1}/{len(images)}", end="\r", file=sys.stderr)
 
     geodist = load_geodesics(args.geodesics) if args.geodesics else planar_uv_distance
+    cfg = getattr(predictor, "cfg", None) or predictor.base.cfg
+    # TTA runs report under *_TTA task names (the reference's TTA
+    # quick_schedule expects ["bbox_TTA", "densepose_gps_TTA", ...])
+    sfx = "_TTA" if cfg.TEST.AUG.ENABLED else ""
     results = {
-        "bbox": coco_box_ap(box_preds, box_gt),
-        "densepose_gps": densepose_ap(dp_preds, dp_gt, "gps", geodist),
-        "densepose_gpsm": densepose_ap(dp_preds, dp_gt, "gpsm", geodist),
+        f"bbox{sfx}": coco_box_ap(box_preds, box_gt),
+        f"densepose_gps{sfx}": densepose_ap(dp_preds, dp_gt, "gps", geodist),
+        f"densepose_gpsm{sfx}": densepose_ap(dp_preds, dp_gt, "gpsm", geodist),
     }
     print(json.dumps(results, indent=1))
-
-    cfg = getattr(predictor, "cfg", None) or predictor.base.cfg
     expected = list(cfg.TEST.EXPECTED_RESULTS)
     if expected:
         failures = check_expected_results(results, expected)

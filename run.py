@@ -67,10 +67,15 @@ def main():
 
     if args.cpu:
         # env var alone is not enough when jax was already imported by the
-        # interpreter startup (sitecustomize); set both
+        # interpreter startup (sitecustomize); set both. If a backend already
+        # initialized, the switch is impossible — warn instead of crashing.
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
-        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception as e:
+            print(f"warning: --cpu ignored (backend already initialized: {e})",
+                  file=sys.stderr)
 
     import cv2  # noqa: E402
     from densepose_tpu.visualizer import End2EndVisualizer

@@ -203,3 +203,75 @@ def test_evaluate_cli_flow(tmp_path):
     out = json.loads(r.stdout[r.stdout.index("{"):])
     for task in ("bbox", "densepose_gps", "densepose_gpsm"):
         assert "AP" in out[task], out
+
+
+def test_rle_decode_uncompressed_and_compressed():
+    from densepose_tpu.evaluation import rle_decode
+    # column-major runs: 2 zeros, 3 ones, 1 zero on a 2x3 grid
+    m = rle_decode({"size": [2, 3], "counts": [2, 3, 1]})
+    want = np.array([[0, 1, 1], [0, 1, 0]], bool)
+    np.testing.assert_array_equal(m, want)
+    # compressed form of the same counts, via the COCO LEB128 encoder
+    def enc(counts):
+        out = []
+        for i, x in enumerate(counts):
+            if i > 2:
+                x -= counts[i - 2]
+            more = True
+            while more:
+                c = x & 0x1F
+                x >>= 5
+                more = not (x == 0 and not (c & 0x10)) and \
+                       not (x == -1 and (c & 0x10))
+                if more:
+                    c |= 0x20
+                out.append(c + 48)
+        return bytes(out)
+    m2 = rle_decode({"size": [2, 3], "counts": enc([2, 3, 1])})
+    np.testing.assert_array_equal(m2, want)
+
+
+def test_densepose_ignore_regions():
+    """GT boxes without dp points are ignore regions: detections on them are
+    neither TP nor FP."""
+    from densepose_tpu.evaluation import densepose_ap
+    ann = _make_gt([0, 0, 100, 100])
+    labels, uv = _pred_from_gt(ann)
+    ignore_gt = {"bbox": np.array([200.0, 200.0, 50, 50]), "dp_x": []}
+    # detection 2 sits exactly on the ignore region with a higher score
+    preds = [{
+        "pred_boxes_xywh": np.array([ann["bbox"], [200.0, 200.0, 50, 50]]),
+        "scores": np.array([0.8, 0.95]),
+        "labels": [labels, np.zeros_like(labels)],
+        "uv": [uv, np.zeros_like(uv)],
+    }]
+    res = densepose_ap(preds, [[ann, ignore_gt]], mode="gps")
+    assert res["AP"] > 99.0  # the would-be FP was excluded
+
+
+def test_gpsm_without_mask_equals_gps():
+    from densepose_tpu.evaluation import densepose_ap
+    ann = _make_gt([0, 0, 100, 100])
+    labels, uv = _pred_from_gt(ann)
+    pred = [{
+        "pred_boxes_xywh": np.array([ann["bbox"]]), "scores": np.array([0.9]),
+        "labels": [labels], "uv": [uv]}]
+    gps = densepose_ap(pred, [[ann]], mode="gps")["AP"]
+    gpsm = densepose_ap(pred, [[ann]], mode="gpsm")["AP"]
+    assert abs(gps - gpsm) < 1e-9
+
+
+def test_gpsm_with_dp_masks_rle():
+    from densepose_tpu.evaluation import densepose_ap, rle_decode
+    ann = _make_gt([0, 0, 100, 100])
+    # one part mask covering the full 4x4 grid, as uncompressed RLE
+    ann["dp_masks"] = [{"size": [4, 4], "counts": [0, 16]}]
+    labels, uv = _pred_from_gt(ann)
+    full = np.where(labels > 0, labels, 3)
+    dense = densepose_ap([{
+        "pred_boxes_xywh": np.array([ann["bbox"]]), "scores": np.array([0.9]),
+        "labels": [full], "uv": [uv]}], [[ann]], mode="gpsm")["AP"]
+    sparse = densepose_ap([{
+        "pred_boxes_xywh": np.array([ann["bbox"]]), "scores": np.array([0.9]),
+        "labels": [labels], "uv": [uv]}], [[ann]], mode="gpsm")["AP"]
+    assert dense > sparse
