@@ -373,3 +373,91 @@ def test_densepose_stage_same_box_parity():
     u_twin = F.interpolate(y, scale_factor=2, mode="bilinear",
                            align_corners=False).detach().numpy()
     np.testing.assert_allclose(u_mine, u_twin, atol=1e-4, rtol=1e-3)
+
+
+def test_deeplab_head_parity():
+    """DeepLab (ASPP rates 6/12/56 + GN stacked convs) vs a torch twin built
+    from the reference's exact module structure (deeplab.py:20-145)."""
+    import torch.nn as nn
+
+    from densepose_tpu.checkpoint.transform import (random_torch_state,
+                                                    torch_state_to_jax)
+    from densepose_tpu.models.roi_heads import (densepose_head_forward,
+                                                densepose_head_spec)
+
+    cfg = get_cfg()
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME = "DensePoseDeepLabHead"
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_DIM = 32
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS = 2
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_ON = True
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_NUM_CLASSES = 32
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DEEPLAB.NORM = "GN"
+    cfg.freeze()
+
+    spec = densepose_head_spec(cfg, "head")
+    tstate = random_torch_state(spec, seed=7)
+    params = {k: jnp.asarray(v)
+              for k, v in torch_state_to_jax(tstate, spec, fold_bn=False).items()}
+
+    C = 32
+    x = RNG.randn(3, 12, 12, C).astype(np.float32)
+
+    got = np.asarray(densepose_head_forward(params, jnp.asarray(x), cfg, "head"))
+
+    # --- torch twin, module structure verbatim from the reference ---------
+    class ASPPConvT(nn.Sequential):
+        def __init__(self, cin, cout, dil):
+            super().__init__(nn.Conv2d(cin, cout, 3, padding=dil, dilation=dil,
+                                       bias=False),
+                             nn.GroupNorm(32, cout), nn.ReLU())
+
+    class ASPPPoolingT(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.seq = nn.Sequential(nn.AdaptiveAvgPool2d(1),
+                                     nn.Conv2d(cin, cout, 1, bias=False),
+                                     nn.GroupNorm(32, cout), nn.ReLU())
+
+        def forward(self, z):
+            size = z.shape[-2:]
+            z = self.seq(z)
+            return F.interpolate(z, size=size, mode="bilinear",
+                                 align_corners=False)
+
+    convs = nn.ModuleList([
+        nn.Sequential(nn.Conv2d(C, C, 1, bias=False), nn.GroupNorm(32, C),
+                      nn.ReLU()),
+        ASPPConvT(C, C, 6), ASPPConvT(C, C, 12), ASPPConvT(C, C, 56),
+        ASPPPoolingT(C, C),
+    ])
+    project = nn.Sequential(nn.Conv2d(5 * C, C, 1, bias=False), nn.ReLU())
+    stacked = nn.ModuleList([
+        nn.Conv2d(C if i == 0 else 32, 32, 3, padding=1, bias=False)
+        for i in range(2)])
+    gns = nn.ModuleList([nn.GroupNorm(32, 32) for _ in range(2)])
+
+    with torch.no_grad():
+        def setw(mod, key):
+            mod.weight.copy_(t(tstate[key + ".weight"]))
+            if getattr(mod, "bias", None) is not None and key + ".bias" in tstate:
+                mod.bias.copy_(t(tstate[key + ".bias"]))
+
+        setw(convs[0][0], "head.ASPP.convs.0.0"); setw(convs[0][1], "head.ASPP.convs.0.1")
+        for i in (1, 2, 3):
+            setw(convs[i][0], f"head.ASPP.convs.{i}.0")
+            setw(convs[i][1], f"head.ASPP.convs.{i}.1")
+        setw(convs[4].seq[1], "head.ASPP.convs.4.1")
+        setw(convs[4].seq[2], "head.ASPP.convs.4.2")
+        setw(project[0], "head.ASPP.project.0")
+        for i in range(2):
+            setw(stacked[i], f"head.body_conv_fcn{i + 1}")
+            setw(gns[i], f"head.body_conv_fcn{i + 1}.norm")
+
+        z = t(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+        res = [c(z) for c in convs]
+        y = project(torch.cat(res, dim=1))
+        for i in range(2):
+            y = F.relu(gns[i](stacked[i](y)))
+        want = y.numpy().transpose(0, 2, 3, 1)
+
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
