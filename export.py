@@ -37,10 +37,13 @@ def main():
                         help="NMS threshold")
     parser.add_argument("--fp16", action="store_true",
                         help="Store parameters as float16 (mirrors the reference's --fp16)")
-    parser.add_argument("--aot", metavar="HxW", default=None,
-                        help="Also serialize an AOT-compiled StableHLO artifact "
-                             "for input shape HxW (e.g. 720x1280) — the compiled-"
-                             "graph analogue of the reference's TorchScript .pt")
+    parser.add_argument("--aot", metavar="HxW[,HxW...]", default=None,
+                        help="Also serialize AOT-compiled StableHLO artifacts "
+                             "for these input shapes (e.g. 720x1280,1080x1920) — "
+                             "the compiled-graph analogue of the reference's "
+                             "TorchScript .pt")
+    parser.add_argument("--opts", nargs="*", default=[],
+                        help="Extra dotted-key config overrides")
     args = parser.parse_args()
 
     cfg = get_cfg()
@@ -50,16 +53,22 @@ def main():
         opts += ["MODEL.ROI_HEADS.NMS_THRESH_TEST", str(args.nms_thresh)]
     if args.fp16:
         opts += ["TPU.COMPUTE_DTYPE", "float16"]
-    cfg.merge_from_list(opts)
+    cfg.merge_from_list(opts + list(args.opts))
     cfg.MODEL.WEIGHTS = args.model
     cfg.freeze()
 
     model = build_model(cfg)
     spec = model.spec()
-    ckpt, needs_c2 = load_checkpoint_file(args.model)
-    shapes = {k: v.shape for k, v in spec.items()}
-    torch_state = align_state_dicts(list(spec.keys()), shapes, ckpt, needs_c2)
-    print(f"matched {len(torch_state)}/{len(spec)} parameters")
+    if args.model:
+        ckpt, needs_c2 = load_checkpoint_file(args.model)
+        shapes = {k: v.shape for k, v in spec.items()}
+        torch_state = align_state_dicts(list(spec.keys()), shapes, ckpt, needs_c2)
+        print(f"matched {len(torch_state)}/{len(spec)} parameters")
+    else:
+        # no checkpoint: random weights (offline smoke / structure export)
+        from densepose_tpu.checkpoint.transform import random_torch_state
+        torch_state = random_torch_state(spec, seed=0)
+        print(f"no checkpoint given: exporting {len(spec)} random-init parameters")
 
     # store torch-layout weights (layout transform happens at load; keeps the
     # bundle usable for exact-parity fp32 runs AND folded fast runs)
@@ -77,13 +86,14 @@ def main():
 
     if args.aot:
         from densepose_tpu.predictor import DensePosePredictor
-        h, w = (int(v) for v in args.aot.lower().split("x"))
         pred = DensePosePredictor(cfg, weights_path=out_path)
-        data = pred.aot_export_bytes((h, w))
-        aot_path = out_path.replace(".npz", f"_{h}x{w}.stablehlo")
-        with open(aot_path, "wb") as f:
-            f.write(data)
-        print(f"AOT artifact saved to {aot_path} ({len(data) / 1e6:.1f} MB)")
+        for shape in args.aot.lower().split(","):
+            h, w = (int(v) for v in shape.split("x"))
+            data = pred.aot_export_bytes((h, w))
+            aot_path = out_path.replace(".npz", f"_{h}x{w}.stablehlo")
+            with open(aot_path, "wb") as f:
+                f.write(data)
+            print(f"AOT artifact saved to {aot_path} ({len(data) / 1e6:.1f} MB)")
 
 
 if __name__ == "__main__":

@@ -83,6 +83,25 @@ def main():
     visualizer = End2EndVisualizer(alpha=0.7, keep_bg=False)
     predictor = load_predictor(args.model, args.weights, args.fp32, args.opts)
 
+    if os.path.isdir(args.input):
+        # directory of images: process each, writing <name>_pred.<ext>
+        # siblings (the per-image contract, applied in bulk)
+        names = sorted(f for f in os.listdir(args.input)
+                       if os.path.splitext(f)[1].lower() in IMAGE_EXTS)
+        if not names:
+            sys.exit(f"error: no images in {args.input!r}")
+        for i, name in enumerate(names):
+            path = os.path.join(args.input, name)
+            img = cv2.imread(path)
+            if img is None:
+                print(f"warning: skipping unreadable {path}", file=sys.stderr)
+                continue
+            outputs = predictor.predict_numpy(img)
+            out_path = "_pred".join(os.path.splitext(path))
+            cv2.imwrite(out_path, visualizer.visualize(img, outputs))
+            print(f"Image {i + 1}/{len(names)} saved to {out_path}")
+        return
+
     save_path = "_pred".join(os.path.splitext(args.input))
     ext = os.path.splitext(args.input)[1].lower()
     if ext in IMAGE_EXTS:

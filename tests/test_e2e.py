@@ -254,3 +254,22 @@ def test_aot_export_roundtrip():
     aot = pred.numpy_outputs(out)
     assert aot["num_instances"] == direct["num_instances"]
     np.testing.assert_allclose(aot["pred_boxes"], direct["pred_boxes"], atol=1e-5)
+
+
+def test_image_directory_flow(tmp_path):
+    """run.py on a DIRECTORY of images writes a _pred sibling per image."""
+    cv2 = pytest.importorskip("cv2")
+    d = tmp_path / "batch"
+    d.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(d / f"f{i}.jpg"), np.full((48, 64, 3), 90 + i, np.uint8))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run.py"),
+         "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml", str(d),
+         "--cpu", "--opts"] + TINY,
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(str(d / "f0_pred.jpg")) and \
+        os.path.exists(str(d / "f1_pred.jpg")), r.stdout
