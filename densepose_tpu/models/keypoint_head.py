@@ -69,12 +69,46 @@ def keypoint_head_forward(
     return resize_bilinear(x, (h, w), scale=(2.0, 2.0))
 
 
-def heatmaps_to_keypoints_np(maps: np.ndarray, rois: np.ndarray) -> np.ndarray:
-    """Host-side keypoint extraction (structures.py:34-104 semantics, with
-    bilinear instead of bicubic per-ROI resize): maps (N, K, H, W) logits,
-    rois (N, 4) -> (N, K, 4) of (x, y, logit, score)."""
-    from ..visualizer import _resize_bilinear_np
+def _resize_bicubic_np(x: np.ndarray, out_hw) -> np.ndarray:
+    """(H, W, C) -> (h, w, C): torch ``F.interpolate(mode="bicubic",
+    align_corners=False)`` semantics — cubic convolution kernel with
+    a = -0.75, half-pixel source mapping, replicate borders, no value
+    clamping (bicubic may overshoot, exactly like torch)."""
+    h_in, w_in = x.shape[:2]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x.astype(np.float32)
 
+    a = -0.75
+
+    def weights(t):
+        # t: distances of the 4 taps from the source point, shape (n, 4)
+        t = np.abs(t)
+        w1 = ((a + 2) * t - (a + 3)) * t * t + 1          # |t| <= 1
+        w2 = ((a * t - 5 * a) * t + 8 * a) * t - 4 * a    # 1 < |t| < 2
+        return np.where(t <= 1, w1, np.where(t < 2, w2, 0.0))
+
+    def axis(in_size, out_size):
+        ratio = in_size / out_size
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * ratio - 0.5
+        base = np.floor(src).astype(np.int64)
+        frac = src - base
+        taps = base[:, None] + np.arange(-1, 3)[None, :]   # (out, 4)
+        dist = frac[:, None] - np.arange(-1, 3)[None, :]
+        return np.clip(taps, 0, in_size - 1), weights(dist).astype(np.float32)
+
+    yi, yw = axis(h_in, h_out)
+    xi, xw = axis(w_in, w_out)
+    # rows: (h_out, 4, W, C) -> (h_out, W, C)
+    rows = (x[yi] * yw[:, :, None, None]).sum(axis=1)
+    cols = (rows[:, xi] * xw[None, :, :, None]).sum(axis=2)
+    return cols.astype(np.float32)
+
+
+def heatmaps_to_keypoints_np(maps: np.ndarray, rois: np.ndarray) -> np.ndarray:
+    """Host-side keypoint extraction (structures.py:34-104 semantics incl.
+    the per-ROI bicubic resize): maps (N, K, H, W) logits,
+    rois (N, 4) -> (N, K, 4) of (x, y, logit, score)."""
     n, k = maps.shape[:2]
     out = np.zeros((n, k, 4), dtype=np.float32)
     for i in range(n):
@@ -83,7 +117,7 @@ def heatmaps_to_keypoints_np(maps: np.ndarray, rois: np.ndarray) -> np.ndarray:
         h = max(y1 - y0, 1.0)
         wc = int(np.ceil(w))
         hc = int(np.ceil(h))
-        roi_map = _resize_bilinear_np(
+        roi_map = _resize_bicubic_np(
             np.transpose(maps[i], (1, 2, 0)).astype(np.float32), (hc, wc))
         pooled = maps[i]
         for kp in range(k):

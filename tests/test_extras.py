@@ -177,3 +177,23 @@ def test_locate():
     fn = locate("densepose_tpu.ops.nms.nms_mask")
     from densepose_tpu.ops.nms import nms_mask
     assert fn is nms_mask
+
+
+def test_bicubic_resize_matches_torch():
+    """_resize_bicubic_np == torch F.interpolate(mode='bicubic',
+    align_corners=False), the kernel heatmaps_to_keypoints uses
+    (structures.py:34-104)."""
+    import torch
+    import torch.nn.functional as F
+
+    from densepose_tpu.models.keypoint_head import _resize_bicubic_np
+
+    rng = np.random.RandomState(0)
+    for (hi, wi), (ho, wo) in [((14, 14), (37, 22)), ((8, 12), (3, 5)),
+                               ((14, 14), (56, 56))]:
+        x = rng.randn(hi, wi, 3).astype(np.float32)
+        got = _resize_bicubic_np(x, (ho, wo))
+        want = F.interpolate(
+            torch.from_numpy(x.transpose(2, 0, 1))[None], size=(ho, wo),
+            mode="bicubic", align_corners=False)[0].numpy().transpose(1, 2, 0)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
