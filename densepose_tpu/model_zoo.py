@@ -119,6 +119,36 @@ _register_hrnet_variants()
 _register_cse_variants()
 
 
+# Trained checkpoints the reference's README publishes (README.md zoo
+# tables; detectron2 DensePose model zoo). Resolved through
+# utils.file_io.get_local_path (cached download) when egress exists.
+_CHECKPOINTS = {
+    "densepose_rcnn_R_50_FPN_s1x":
+        "https://dl.fbaipublicfiles.com/densepose/densepose_rcnn_R_50_FPN_s1x/165712039/model_final_162be9.pkl",
+    "densepose_rcnn_R_101_FPN_s1x":
+        "https://dl.fbaipublicfiles.com/densepose/densepose_rcnn_R_101_FPN_s1x/165712084/model_final_c6ab63.pkl",
+    "densepose_rcnn_R_50_FPN_DL_s1x":
+        "https://dl.fbaipublicfiles.com/densepose/densepose_rcnn_R_50_FPN_DL_s1x/165712097/model_final_0ed407.pkl",
+    "densepose_rcnn_R_101_FPN_DL_s1x":
+        "https://dl.fbaipublicfiles.com/densepose/densepose_rcnn_R_101_FPN_DL_s1x/165712116/model_final_844d15.pkl",
+    "densepose_rcnn_R_50_FPN_s1x_legacy":
+        "https://dl.fbaipublicfiles.com/densepose/densepose_rcnn_R_50_FPN_s1x_legacy/164832157/model_final_d366fa.pkl",
+    "densepose_rcnn_R_101_FPN_s1x_legacy":
+        "https://dl.fbaipublicfiles.com/densepose/densepose_rcnn_R_101_FPN_s1x_legacy/164832182/model_final_10af0e.pkl",
+}
+
+
+def get_checkpoint_url(name: str) -> str:
+    """Zoo name -> trained checkpoint URL (the reference README's zoo
+    links). KeyError for variants whose weights the reference does not
+    publish (WC*, HRNet, CSE)."""
+    if name not in _CHECKPOINTS:
+        raise KeyError(
+            f"no published checkpoint for {name!r}; available: "
+            f"{', '.join(sorted(_CHECKPOINTS))}")
+    return _CHECKPOINTS[name]
+
+
 def list_models() -> List[str]:
     return sorted(_ZOO)
 

@@ -38,6 +38,23 @@ def load_predictor(model_path: str, weights: str, fp32: bool, opts):
             cfg.merge_from_list(opts)
         cfg.freeze()
         pred = DensePosePredictor(cfg, weights_path=model_path)
+    elif not os.path.exists(model_path) and not model_path.endswith((".yaml", ".yml")):
+        # model-zoo name, e.g. densepose_rcnn_R_50_FPN_s1x (no YAML needed)
+        from densepose_tpu import model_zoo
+        from densepose_tpu.utils.file_io import get_local_path
+        cfg = model_zoo.get_config(model_path).clone()
+        cfg.defrost()
+        if fp32:
+            cfg.TPU.COMPUTE_DTYPE = "float32"
+        if opts:
+            cfg.merge_from_list(opts)
+        cfg.freeze()
+        if not weights:
+            try:
+                weights = get_local_path(model_zoo.get_checkpoint_url(model_path))
+            except (KeyError, IOError) as e:
+                print(f"warning: {e}; using random weights", file=sys.stderr)
+        pred = DensePosePredictor(cfg, weights_path=weights or None)
     else:
         # YAML config path
         cfg.merge_from_file(model_path)

@@ -273,3 +273,19 @@ def test_image_directory_flow(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(str(d / "f0_pred.jpg")) and \
         os.path.exists(str(d / "f1_pred.jpg")), r.stdout
+
+
+def test_zoo_name_cli_flow(tmp_path):
+    """run.py accepts a bare model-zoo name (no YAML); offline it falls back
+    to random weights with a warning."""
+    cv2 = pytest.importorskip("cv2")
+    img_path = str(tmp_path / "in.jpg")
+    cv2.imwrite(img_path, np.full((48, 64, 3), 70, np.uint8))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run.py"),
+         "densepose_rcnn_R_50_FPN_s1x", img_path, "--cpu", "--opts"] + TINY,
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(str(tmp_path / "in_pred.jpg")), r.stdout
