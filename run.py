@@ -80,6 +80,9 @@ def main():
                         help="Video frames per device batch (0 = auto)")
     parser.add_argument("--opts", nargs="*", default=[],
                         help="Extra dotted-key config overrides")
+    parser.add_argument("--profile", metavar="DIR", default="",
+                        help="Capture a jax.profiler device trace of the "
+                             "inference into DIR (view with tensorboard/xprof)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -99,6 +102,26 @@ def main():
 
     visualizer = End2EndVisualizer(alpha=0.7, keep_bg=False)
     predictor = load_predictor(args.model, args.weights, args.fp32, args.opts)
+
+    profile_ctx = None
+    if args.profile:
+        from densepose_tpu.utils.timing import trace_device
+        try:
+            profile_ctx = trace_device(args.profile)
+            profile_ctx.__enter__()
+            print(f"profiling to {args.profile}", file=sys.stderr)
+        except Exception as e:  # backend without profiler support
+            print(f"warning: profiling unavailable ({e})", file=sys.stderr)
+            profile_ctx = None
+    try:
+        _dispatch(args, predictor, visualizer, cv2)
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+
+
+def _dispatch(args, predictor, visualizer, cv2):
+    import numpy as np  # noqa: F401
 
     if os.path.isdir(args.input):
         # directory of images: process each, writing <name>_pred.<ext>
