@@ -203,6 +203,58 @@ class DensePoseResultsFineSegmentationVisualizer:
         return image_bgr
 
 
+class DensePoseResultsUVisualizer:
+    """U-channel overlay (beyond the reference, which ships only the
+    fine-segm visualizer; mirrors upstream detectron2 DensePose's
+    DensePoseResultsUVisualizer)."""
+
+    def __init__(self, inplace=True, cmap=None, alpha=0.7, keep_bg=True,
+                 channel=0):
+        self.mask_visualizer = MatrixVisualizer(inplace=inplace, cmap=cmap,
+                                                val_scale=255.0, alpha=alpha)
+        self.keep_bg = keep_bg
+        self.channel = channel  # 0 = U, 1 = V
+
+    def visualize(self, image_bgr: np.ndarray, results_and_boxes) -> np.ndarray:
+        results, boxes_xywh = results_and_boxes
+        if results is None or boxes_xywh is None:
+            return image_bgr
+        if not self.keep_bg:
+            self.mask_visualizer.fill(image_bgr, 0)
+        for res, box in zip(results, boxes_xywh):
+            mask = (res["labels"] > 0).astype(np.uint8)
+            matrix = np.clip(res["uv"][self.channel] * 255.0, 0, 255).astype(np.uint8)
+            self.mask_visualizer.visualize(image_bgr, mask, matrix, box)
+        return image_bgr
+
+
+class DensePoseResultsVVisualizer(DensePoseResultsUVisualizer):
+    def __init__(self, **kw):
+        super().__init__(channel=1, **kw)
+
+
+class ScoredBboxVisualizer:
+    """Detection boxes + scores overlay (upstream's ScoredBoundingBoxVisualizer
+    analogue; the reference has no box visualizer at all)."""
+
+    def __init__(self, color=(0, 255, 0), thickness=1):
+        assert HAS_CV2, "cv2 required for visualization"
+        self.color = color
+        self.thickness = thickness
+
+    def visualize(self, image_bgr: np.ndarray, outputs) -> np.ndarray:
+        n = int(outputs.get("num_instances", len(outputs["pred_boxes"])))
+        boxes = np.asarray(outputs["pred_boxes"])[:n]
+        scores = np.asarray(outputs["scores"])[:n]
+        for box, score in zip(boxes, scores):
+            x1, y1, x2, y2 = [int(v) for v in box]
+            cv2.rectangle(image_bgr, (x1, y1), (x2, y2), self.color,
+                          self.thickness)
+            cv2.putText(image_bgr, f"{float(score):.2f}", (x1, max(y1 - 3, 0)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.4, self.color, 1)
+        return image_bgr
+
+
 class CseResultExtractor:
     """Per-instance closest-vertex maps for CSE models: resize the embedding
     map to the box, mask by coarse-segm foreground, nearest-vertex lookup on
@@ -266,13 +318,28 @@ class CseVisualizer:
 
 
 class End2EndVisualizer:
-    """Extract + overlay, one call per frame (visualizer.py:132-139)."""
+    """Extract + overlay, one call per frame (visualizer.py:132-139).
 
-    def __init__(self, alpha=0.7, cmap=None, keep_bg=True):
+    ``mode``: "fine_segm" (the reference's only overlay), "u", "v"
+    (UV-channel overlays), or "bbox" (boxes + scores, no extraction)."""
+
+    def __init__(self, alpha=0.7, cmap=None, keep_bg=True, mode="fine_segm"):
+        self.mode = mode
         self.extractor = DensePoseResultExtractor()
-        self.visualizer = DensePoseResultsFineSegmentationVisualizer(
-            alpha=alpha, cmap=cmap, keep_bg=keep_bg)
+        if mode == "fine_segm":
+            self.visualizer = DensePoseResultsFineSegmentationVisualizer(
+                alpha=alpha, cmap=cmap, keep_bg=keep_bg)
+        elif mode in ("u", "v"):
+            self.visualizer = DensePoseResultsUVisualizer(
+                alpha=alpha, cmap=cmap, keep_bg=keep_bg,
+                channel=0 if mode == "u" else 1)
+        elif mode == "bbox":
+            self.visualizer = ScoredBboxVisualizer()
+        else:
+            raise ValueError(f"unknown visualizer mode {mode!r}")
 
     def visualize(self, image_bgr: np.ndarray, outputs) -> np.ndarray:
+        if self.mode == "bbox":
+            return self.visualizer.visualize(image_bgr, outputs)
         data = self.extractor(outputs)
         return self.visualizer.visualize(image_bgr, data)

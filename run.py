@@ -83,6 +83,10 @@ def main():
     parser.add_argument("--profile", metavar="DIR", default="",
                         help="Capture a jax.profiler device trace of the "
                              "inference into DIR (view with tensorboard/xprof)")
+    parser.add_argument("--vis", default="fine_segm",
+                        choices=["fine_segm", "u", "v", "bbox"],
+                        help="Overlay: fine-segm labels (the reference's), "
+                             "U/V channels, or scored boxes")
     args = parser.parse_args()
 
     if args.cpu:
@@ -100,7 +104,7 @@ def main():
     import cv2  # noqa: E402
     from densepose_tpu.visualizer import End2EndVisualizer
 
-    visualizer = End2EndVisualizer(alpha=0.7, keep_bg=False)
+    visualizer = End2EndVisualizer(alpha=0.7, keep_bg=False, mode=args.vis)
     predictor = load_predictor(args.model, args.weights, args.fp32, args.opts)
 
     profile_ctx = None

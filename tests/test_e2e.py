@@ -289,3 +289,20 @@ def test_zoo_name_cli_flow(tmp_path):
         capture_output=True, text=True, env=env, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(str(tmp_path / "in_pred.jpg")), r.stdout
+
+
+@pytest.mark.parametrize("mode", ["u", "bbox"])
+def test_vis_modes_cli(tmp_path, mode):
+    """run.py --vis u/bbox overlay modes produce output images."""
+    cv2 = pytest.importorskip("cv2")
+    img_path = str(tmp_path / "in.jpg")
+    cv2.imwrite(img_path, (np.random.RandomState(2).rand(48, 64, 3) * 255
+                           ).astype(np.uint8))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run.py"),
+         "densepose_rcnn_R_50_FPN_s1x", img_path, "--cpu", "--vis", mode,
+         "--opts"] + TINY,
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(str(tmp_path / "in_pred.jpg")), r.stdout
