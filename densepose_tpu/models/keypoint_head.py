@@ -99,10 +99,15 @@ def _resize_bicubic_np(x: np.ndarray, out_hw) -> np.ndarray:
 
     yi, yw = axis(h_in, h_out)
     xi, xw = axis(w_in, w_out)
-    # rows: (h_out, 4, W, C) -> (h_out, W, C)
-    rows = (x[yi] * yw[:, :, None, None]).sum(axis=1)
-    cols = (rows[:, xi] * xw[None, :, :, None]).sum(axis=2)
-    return cols.astype(np.float32)
+    # tap-wise accumulation keeps peak memory at one (h_out, w_out, C) map
+    # (a stacked-taps formulation spikes ~4x per axis on person-sized ROIs)
+    rows = np.zeros((h_out, w_in) + x.shape[2:], dtype=np.float32)
+    for tap in range(4):
+        rows += x[yi[:, tap]] * yw[:, tap][:, None, None]
+    out = np.zeros((h_out, w_out) + x.shape[2:], dtype=np.float32)
+    for tap in range(4):
+        out += rows[:, xi[:, tap]] * xw[:, tap][None, :, None]
+    return out
 
 
 def heatmaps_to_keypoints_np(maps: np.ndarray, rois: np.ndarray) -> np.ndarray:

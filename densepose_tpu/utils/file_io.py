@@ -32,6 +32,9 @@ def get_local_path(path: str, timeout: int = 60) -> str:
         digest = hashlib.sha1(path.encode()).hexdigest()[:16]
         fname = os.path.basename(path.split("?")[0]) or "download"
         local = os.path.join(CACHE_DIR, f"{digest}_{fname}")
+        if os.environ.get("DENSEPOSE_TPU_OFFLINE") and not os.path.exists(local):
+            raise IOError(f"DENSEPOSE_TPU_OFFLINE set and {path!r} not cached "
+                          f"at {local!r}")
         if not os.path.exists(local):
             logger.info("downloading %s -> %s", path, local)
             tmp = local + ".tmp"

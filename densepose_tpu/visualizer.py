@@ -189,6 +189,10 @@ class DensePoseResultsFineSegmentationVisualizer:
                                                 val_scale=val_scale, alpha=alpha)
         self.keep_bg = keep_bg
 
+    def _matrix_mask(self, res):
+        labels = res["labels"]
+        return labels.astype(np.uint8), (labels > 0).astype(np.uint8)
+
     def visualize(self, image_bgr: np.ndarray, results_and_boxes) -> np.ndarray:
         results, boxes_xywh = results_and_boxes
         if results is None or boxes_xywh is None:
@@ -196,36 +200,26 @@ class DensePoseResultsFineSegmentationVisualizer:
         if not self.keep_bg:
             self.mask_visualizer.fill(image_bgr, 0)
         for res, box in zip(results, boxes_xywh):
-            iuv_i = res["labels"].astype(np.float32)
-            matrix = iuv_i.astype(np.uint8)
-            mask = (iuv_i > 0).astype(np.uint8)
+            matrix, mask = self._matrix_mask(res)
             self.mask_visualizer.visualize(image_bgr, mask, matrix, box)
         return image_bgr
 
 
-class DensePoseResultsUVisualizer:
-    """U-channel overlay (beyond the reference, which ships only the
+class DensePoseResultsUVisualizer(DensePoseResultsFineSegmentationVisualizer):
+    """U/V-channel overlay (beyond the reference, which ships only the
     fine-segm visualizer; mirrors upstream detectron2 DensePose's
-    DensePoseResultsUVisualizer)."""
+    DensePoseResultsU/VVisualizer). The UV matrix is pre-scaled to 0..255,
+    so the colormap val_scale is 1."""
 
     def __init__(self, inplace=True, cmap=None, alpha=0.7, keep_bg=True,
                  channel=0):
-        self.mask_visualizer = MatrixVisualizer(inplace=inplace, cmap=cmap,
-                                                val_scale=255.0, alpha=alpha)
-        self.keep_bg = keep_bg
+        super().__init__(inplace=inplace, cmap=cmap, alpha=alpha,
+                         val_scale=1.0, keep_bg=keep_bg)
         self.channel = channel  # 0 = U, 1 = V
 
-    def visualize(self, image_bgr: np.ndarray, results_and_boxes) -> np.ndarray:
-        results, boxes_xywh = results_and_boxes
-        if results is None or boxes_xywh is None:
-            return image_bgr
-        if not self.keep_bg:
-            self.mask_visualizer.fill(image_bgr, 0)
-        for res, box in zip(results, boxes_xywh):
-            mask = (res["labels"] > 0).astype(np.uint8)
-            matrix = np.clip(res["uv"][self.channel] * 255.0, 0, 255).astype(np.uint8)
-            self.mask_visualizer.visualize(image_bgr, mask, matrix, box)
-        return image_bgr
+    def _matrix_mask(self, res):
+        matrix = np.clip(res["uv"][self.channel] * 255.0, 0, 255).astype(np.uint8)
+        return matrix, (res["labels"] > 0).astype(np.uint8)
 
 
 class DensePoseResultsVVisualizer(DensePoseResultsUVisualizer):
@@ -329,10 +323,12 @@ class End2EndVisualizer:
         if mode == "fine_segm":
             self.visualizer = DensePoseResultsFineSegmentationVisualizer(
                 alpha=alpha, cmap=cmap, keep_bg=keep_bg)
-        elif mode in ("u", "v"):
+        elif mode == "u":
             self.visualizer = DensePoseResultsUVisualizer(
-                alpha=alpha, cmap=cmap, keep_bg=keep_bg,
-                channel=0 if mode == "u" else 1)
+                alpha=alpha, cmap=cmap, keep_bg=keep_bg)
+        elif mode == "v":
+            self.visualizer = DensePoseResultsVVisualizer(
+                alpha=alpha, cmap=cmap, keep_bg=keep_bg)
         elif mode == "bbox":
             self.visualizer = ScoredBboxVisualizer()
         else:

@@ -30,7 +30,9 @@ from densepose_tpu.checkpoint.pkl_loader import align_state_dicts, load_checkpoi
 def main():
     parser = argparse.ArgumentParser(description="Export DensePose model to a TPU param bundle")
     parser.add_argument("cfg", type=str, help="Config file")
-    parser.add_argument("model", type=str, help="Model checkpoint (.pkl)")
+    parser.add_argument("model", type=str, nargs="?", default="",
+                        help="Model checkpoint (.pkl); omit to export "
+                             "random-init weights (offline smoke/structure)")
     parser.add_argument("--min_score", default=0.3, type=float,
                         help="Minimum detection score")
     parser.add_argument("--nms_thresh", metavar="<threshold>", default=None, type=float,

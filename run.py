@@ -130,8 +130,10 @@ def _dispatch(args, predictor, visualizer, cv2):
     if os.path.isdir(args.input):
         # directory of images: process each, writing <name>_pred.<ext>
         # siblings (the per-image contract, applied in bulk)
-        names = sorted(f for f in os.listdir(args.input)
-                       if os.path.splitext(f)[1].lower() in IMAGE_EXTS)
+        names = sorted(
+            f for f in os.listdir(args.input)
+            if os.path.splitext(f)[1].lower() in IMAGE_EXTS
+            and not os.path.splitext(f)[0].endswith("_pred"))  # skip own outputs
         if not names:
             sys.exit(f"error: no images in {args.input!r}")
         for i, name in enumerate(names):

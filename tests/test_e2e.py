@@ -282,7 +282,7 @@ def test_zoo_name_cli_flow(tmp_path):
     img_path = str(tmp_path / "in.jpg")
     cv2.imwrite(img_path, np.full((48, 64, 3), 70, np.uint8))
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", DENSEPOSE_TPU_OFFLINE="1")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "run.py"),
          "densepose_rcnn_R_50_FPN_s1x", img_path, "--cpu", "--opts"] + TINY,
@@ -298,7 +298,7 @@ def test_vis_modes_cli(tmp_path, mode):
     img_path = str(tmp_path / "in.jpg")
     cv2.imwrite(img_path, (np.random.RandomState(2).rand(48, 64, 3) * 255
                            ).astype(np.uint8))
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", DENSEPOSE_TPU_OFFLINE="1")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "run.py"),
          "densepose_rcnn_R_50_FPN_s1x", img_path, "--cpu", "--vis", mode,

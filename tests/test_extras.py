@@ -197,3 +197,21 @@ def test_bicubic_resize_matches_torch():
             torch.from_numpy(x.transpose(2, 0, 1))[None], size=(ho, wo),
             mode="bicubic", align_corners=False)[0].numpy().transpose(1, 2, 0)
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_uv_visualizer_renders_gradient():
+    """U-channel overlay must render a gradient, not a saturated binary mask
+    (regression: double 255 scaling collapsed it to 2 colors)."""
+    import pytest
+    pytest.importorskip("cv2")
+    from densepose_tpu.visualizer import DensePoseResultsUVisualizer
+
+    h = w = 32
+    u = np.tile(np.linspace(0, 1, w, dtype=np.float32), (h, 1))
+    res = {"labels": np.ones((h, w), np.int64),
+           "uv": np.stack([u, np.zeros_like(u)])}
+    img = np.zeros((h, w, 3), np.uint8)
+    vis = DensePoseResultsUVisualizer(alpha=1.0)
+    out = vis.visualize(img, ([res], np.array([[0, 0, w, h]], np.float32)))
+    colors = np.unique(out.reshape(-1, 3), axis=0)
+    assert len(colors) > 16, f"only {len(colors)} colors — gradient collapsed"
