@@ -355,3 +355,44 @@ def test_layer_norm_cf():
             + torch.from_numpy(b)[:, None, None])[0].permute(1, 2, 0)
     got = layer_norm_cf(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(got), t2n(want), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("aligned", [False, True])
+@pytest.mark.parametrize("out_size,ratio", [((7, 7), 2), ((28, 28), 2), ((5, 5), 1)])
+def test_roi_align_matmul_formulation(aligned, out_size, ratio):
+    """The separable-matmul ROIAlign (TPU MXU path) == the numpy golden
+    reference, including border and at-edge semantics."""
+    feat = RNG.randn(24, 32, 8).astype(np.float32)
+    boxes = np.array([
+        [4.0, 4.0, 60.0, 40.0],
+        [0.0, 0.0, 128.0, 96.0],
+        [10.5, 7.25, 30.0, 22.5],
+        [100.0, 80.0, 120.0, 95.0],   # partially outside
+        [2.0, 2.0, 3.0, 3.0],         # tiny
+        [-30.0, -20.0, 10.0, 8.0],    # extends past the top-left border
+    ], dtype=np.float32)
+    scale = 0.25
+    want = roi_align_np(feat, boxes, scale, out_size, ratio, aligned)
+    got = ops.roi_align.roi_align_single_matmul(
+        jnp.asarray(feat), jnp.asarray(boxes), scale, out_size, ratio, aligned)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
+
+
+def test_roi_align_multilevel_matmul_matches_gather():
+    """The MXU multi-level formulation == the gather formulation, including
+    level mask-selection and chunking."""
+    from densepose_tpu.ops.roi_align import (assign_boxes_to_levels,
+                                             roi_align_multilevel,
+                                             roi_align_multilevel_matmul)
+    feats = [jnp.asarray(RNG.randn(32 // (2 ** i), 40 // (2 ** i), 8)
+                         .astype(np.float32)) for i in range(4)]
+    scales = [0.25 / (2 ** i) for i in range(4)]
+    boxes = (RNG.rand(21, 4) * np.array([80, 60, 80, 60])).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + np.abs(boxes[:, 2:]) + 8
+    b = jnp.asarray(boxes)
+    lv = assign_boxes_to_levels(b, 2, 5)
+    want = roi_align_multilevel(feats, b, lv, scales, (7, 7), 2, False)
+    got = roi_align_multilevel_matmul(feats, b, lv, scales, (7, 7), 2, False,
+                                      chunk=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
