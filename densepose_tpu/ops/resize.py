@@ -64,6 +64,12 @@ def resize_bilinear(
     dtype = x.dtype
     sh, sw = (scale if scale is not None else (None, None))
 
+    # NOTE(perf): an exact scale-2 shift-add fast path (even = 0.25*x[m-1]
+    # + 0.75*x[m], odd mirrored, stack-interleave) measured ~20% faster in
+    # isolation on TPU but 1.6 ms/frame SLOWER inside the full fused graph —
+    # the constant-index takes below fuse better with surrounding work.
+    # Tried and reverted; don't re-add without an end-to-end bench win.
+
     i0, i1, w0, w1 = _axis_weights(h_in, h_out, sh)
     xa = jnp.take(x, jnp.asarray(i0), axis=-3)
     xb = jnp.take(x, jnp.asarray(i1), axis=-3)
