@@ -416,11 +416,50 @@ def densepose_predictor_forward(
         h, w = int(y.shape[-3] * up), int(y.shape[-2] * up)
         return resize_bilinear(y, (h, w), scale=(up, up))
 
+    def heads_merged(names):
+        """The parallel deconv heads share the same input, kernel geometry
+        and upsample, so run them as ONE conv_transpose with the output
+        channels concatenated (2+25+25+25 -> 77, one padded-to-128 MXU pass
+        instead of four tiny-N passes) + one bilinear resize, then split.
+        Bitwise identical per channel to running them separately."""
+        w_cat = jnp.concatenate([p[f"{prefix}.{n}.weight"] for n in names], axis=-1)
+        b_cat = jnp.concatenate([p[f"{prefix}.{n}.bias"] for n in names], axis=-1)
+        # (A polyphase-decomposed variant of this deconv measured SLOWER —
+        # 2.85 vs 2.33 ms — the interleave relayouts cost more than the
+        # dilated lowering; ops/conv.py::conv_transpose2d_polyphase kept
+        # for reference.)
+        y = conv_transpose2d(x, w_cat, b_cat, stride=2, padding=pad,
+                             kernel_size=k)
+        if up == 2.0:
+            # shift-add scale-2 upsample: ~1.7x over the gather resize on
+            # this shape (ops/resize.py::upsample2x_bilinear)
+            from ..ops.resize import upsample2x_bilinear
+            y = upsample2x_bilinear(y)
+        else:
+            h, w = int(y.shape[-3] * up), int(y.shape[-2] * up)
+            y = resize_bilinear(y, (h, w), scale=(up, up))
+        outs, s = [], 0
+        for n in names:
+            c = p[f"{prefix}.{n}.bias"].shape[0]
+            outs.append(y[..., s:s + c])
+            s += c
+        return outs
+
+    from ..ops.roi_align import _on_tpu
+    if _on_tpu():
+        # TPU-only routing: the concatenated conv_transpose aborts the
+        # XLA:CPU backend under a GSPMD mesh compile (observed crash in
+        # backend_compile); CPU keeps the four separate heads.
+        cs, fs, uu, vv = heads_merged(
+            ["ann_index_lowres", "index_uv_lowres", "u_lowres", "v_lowres"])
+    else:
+        cs, fs, uu, vv = (head("ann_index_lowres"), head("index_uv_lowres"),
+                          head("u_lowres"), head("v_lowres"))
     out = {
-        "coarse_segm": head("ann_index_lowres"),
-        "fine_segm": head("index_uv_lowres"),
-        "u": head("u_lowres"),
-        "v": head("v_lowres"),
+        "coarse_segm": cs,
+        "fine_segm": fs,
+        "u": uu,
+        "v": vv,
     }
     # Beyond-reference opt-in: the reference *loads* the WC confidence deconv
     # weights but never runs them (chart_with_confidence.py:91-109, README:9

@@ -132,6 +132,57 @@ def conv_transpose2d(
     return y[0] if squeeze else y
 
 
+def conv_transpose2d_polyphase(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """ConvTranspose2d(k=4, s=2, p=1) as ONE stride-1 k=2 conv with 4x the
+    output channels + a polyphase interleave.
+
+    XLA:TPU lowers ``lhs_dilation`` transpose convs by convolving the dense
+    4x4 window over the zero-dilated input — 4x the effective FLOPs at poor
+    MXU occupancy. But a stride-2 transpose conv splits exactly by output
+    parity: output (2m+dy, 2n+dx) sums the 4 taps w[2r+dy, 2c+dx] over input
+    (m-1+r+dy', n-1+c+dx') — i.e. each of the 4 phases is a plain 2x2
+    stride-1 conv. Stacking the phases on the channel axis gives one MXU
+    pass with dense output channels (e.g. 77 -> 308), then a cheap
+    reshape-interleave. Same 4 products per output as torch's kernel (the
+    12 dilation zeros contribute exactly 0.0), so parity holds to
+    reassociation level.
+
+    ``w``: forward-conv form (4, 4, Cin, Cout) with spatially flipped taps,
+    as stored by checkpoint/transform.py (the same weight conv_transpose2d
+    consumes).
+    """
+    assert w.shape[0] == 4 and w.shape[1] == 4, w.shape
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    # phase kernels: ph(dy,dx)[r,c] = w[2r+dy, 2c+dx]
+    wcat = jnp.concatenate(
+        [w[dy::2, dx::2] for dy in (0, 1) for dx in (0, 1)], axis=-1
+    )  # (2, 2, Cin, 4*Cout); phase order (0,0),(0,1),(1,0),(1,1)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, wcat.astype(x.dtype),
+        window_strides=(1, 1), padding=((0, 0), (0, 0)),
+        dimension_numbers=_DIMNUMS,
+    )  # (N, H+1, W+1, 4*Cout)
+    # phase (dy,dx) output rows m in [0,H): even phases read y[m], odd read
+    # y[m+1] (their 2-tap window starts one pixel later)
+    ph = [y[:, dy:dy + h, dx:dx + wd, i * cout:(i + 1) * cout]
+          for i, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1)))]
+    # interleave: out[2m+dy, 2n+dx] = ph[(dy,dx)][m, n]
+    z = jnp.stack(ph, axis=3).reshape(n, h, wd, 2, 2, cout)
+    out = z.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * wd, cout)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out[0] if squeeze else out
+
+
 def max_pool2d(
     x: jnp.ndarray,
     *,

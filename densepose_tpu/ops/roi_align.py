@@ -256,11 +256,21 @@ def roi_align_single_matmul(
     f = feat.astype(jnp.float32) if feat.dtype == jnp.float32 else feat
     wy = wy.astype(f.dtype)
     wx = wx.astype(f.dtype)
-    # rows: (M, out_h, W, C) = Wy @ feat; out: (M, out_h, out_w, C)
-    rows = jnp.einsum("myh,hwc->mywc", wy, f,
-                      preferred_element_type=jnp.float32)
-    out = jnp.einsum("mxw,mywc->myxc", wx, rows.astype(f.dtype),
-                     preferred_element_type=jnp.float32)
+    # Two chained contractions; XLA must materialize the intermediate in
+    # HBM, so (a) contract the axis that leaves the SMALLER intermediate
+    # first (this stage is bandwidth-bound, not FLOP-bound): X-first leaves
+    # (M, H, out_w, C), Y-first leaves (M, out_h, W, C); and (b) emit the
+    # intermediate directly in the feature dtype — the MXU still accumulates
+    # fp32 internally and rounds on output, which is bit-identical to
+    # computing fp32 then casting, but skips a full fp32 HBM round trip.
+    if h * out_w <= out_h * w:
+        cols = jnp.einsum("mxw,hwc->mhxc", wx, f, preferred_element_type=f.dtype)
+        out = jnp.einsum("myh,mhxc->myxc", wy, cols,
+                         preferred_element_type=jnp.float32)
+    else:
+        rows = jnp.einsum("myh,hwc->mywc", wy, f, preferred_element_type=f.dtype)
+        out = jnp.einsum("mxw,mywc->myxc", wx, rows,
+                         preferred_element_type=jnp.float32)
     return out.astype(feat.dtype)
 
 
@@ -294,12 +304,16 @@ def roi_align_multilevel_matmul(
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
-def _default_use_matmul(sampling_ratio: int) -> bool:
+def _on_tpu() -> bool:
     try:
         plat = jax.devices()[0].platform.lower()
-        return ("tpu" in plat or plat == "axon") and sampling_ratio > 0
+        return "tpu" in plat or plat == "axon"
     except Exception:
         return False
+
+
+def _default_use_matmul(sampling_ratio: int) -> bool:
+    return _on_tpu() and sampling_ratio > 0
 
 
 def roi_align_single(
