@@ -396,3 +396,34 @@ def test_roi_align_multilevel_matmul_matches_gather():
                                       chunk=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_upsample2x_bilinear_exact():
+    """Shift-add scale-2 upsample == torch F.interpolate(scale_factor=2) and
+    == resize_bilinear with scale (2,2), in fp32 (commutative-equal sums)."""
+    from densepose_tpu.ops.resize import resize_bilinear, upsample2x_bilinear
+    x = RNG.randn(3, 9, 13, 5).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                         scale_factor=2, mode="bilinear",
+                         align_corners=False).permute(0, 2, 3, 1).numpy()
+    got = np.asarray(upsample2x_bilinear(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+    ref = np.asarray(resize_bilinear(jnp.asarray(x), (18, 26), scale=(2.0, 2.0)))
+    np.testing.assert_array_equal(got, ref)
+    # 3-dim (H, W, C) input path
+    got3 = np.asarray(upsample2x_bilinear(jnp.asarray(x[0])))
+    np.testing.assert_array_equal(got3, got[0])
+
+
+def test_conv_transpose2d_polyphase_exact():
+    """Polyphase decomposition of ConvTranspose2d(k4,s2,p1) == the
+    lhs-dilation form (same 4 taps per output; reassociation-level only)."""
+    from densepose_tpu.ops.conv import (conv_transpose2d,
+                                        conv_transpose2d_polyphase)
+    x = jnp.asarray(RNG.randn(2, 13, 17, 6).astype(np.float32))
+    w = jnp.asarray(RNG.randn(4, 4, 6, 9).astype(np.float32))
+    b = jnp.asarray(RNG.randn(9).astype(np.float32))
+    want = np.asarray(conv_transpose2d(x, w, b, stride=2, padding=1,
+                                       kernel_size=4))
+    got = np.asarray(conv_transpose2d_polyphase(x, w, b))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
