@@ -109,7 +109,10 @@ class GeneralizedRCNN:
         if self.input_format == "RGB":
             # reference flips BGR->RGB channel order (defaults.py:81-83)
             x = x[..., ::-1]
-        x = resize_bilinear(x, (h1, w1), scale=(k, k))
+        from ..ops.resize import resize_bilinear_smallc
+        # 3-channel W-axis gathers waste 125/128 lanes; the transposed-pass
+        # variant is bit-exact and much faster (ops/resize.py)
+        x = resize_bilinear_smallc(x, (h1, w1), scale=(k, k))
         # reference resizes the uint8 tensor -> quantized output
         x = jnp.clip(jnp.round(x), 0, 255)
         x = (x - self.pixel_mean) / self.pixel_std

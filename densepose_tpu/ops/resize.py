@@ -86,6 +86,44 @@ def resize_bilinear(
     return xa * v0 + xb * v1
 
 
+def resize_bilinear_smallc(
+    x: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    scale: Optional[Tuple[float, float]] = None,
+) -> jnp.ndarray:
+    """Bit-exact ``resize_bilinear`` variant for few-channel images (HWC).
+
+    The standard formulation's W-axis gather indexes the second-to-last dim
+    while the minor dim holds only C=3 channels — 125 of 128 lanes idle, and
+    it cost ~2.8 ms/frame on the (720,1280,3)->800px preprocess resize. Here
+    both axis passes gather ROWS of a 2D-contiguous view: the H pass as-is,
+    the W pass after a (H, W, C) -> (W, H, C) swap (two cheap relayouts of a
+    few MB bracket a lane-aligned gather). The per-element arithmetic is
+    identical to ``resize_bilinear`` — same takes, same fp32 lerp — so the
+    result is bit-exact, unlike a matmul formulation which on TPU would run
+    at bf16 MXU precision."""
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out) and scale is None:
+        return x
+    dtype = x.dtype
+    sh, sw = (scale if scale is not None else (None, None))
+
+    def axis_pass(y, out_size, s):
+        # y: (..., N, K, C) resized along -3 via row takes
+        i0, i1, w0, w1 = _axis_weights(y.shape[-3], out_size, s)
+        xa = jnp.take(y, jnp.asarray(i0), axis=-3)
+        xb = jnp.take(y, jnp.asarray(i1), axis=-3)
+        w0 = jnp.asarray(w0, dtype=dtype)[:, None, None]
+        w1 = jnp.asarray(w1, dtype=dtype)[:, None, None]
+        return xa * w0 + xb * w1
+
+    y = axis_pass(x, h_out, sh)
+    y = jnp.swapaxes(y, -3, -2)
+    y = axis_pass(y, w_out, sw)
+    return jnp.swapaxes(y, -3, -2)
+
+
 def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
     """Exact scale-2 half-pixel bilinear upsample as shift-adds.
 

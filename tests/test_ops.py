@@ -427,3 +427,18 @@ def test_conv_transpose2d_polyphase_exact():
                                        kernel_size=4))
     got = np.asarray(conv_transpose2d_polyphase(x, w, b))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_resize_bilinear_smallc_bit_exact():
+    """Transposed-W-pass resize == the standard formulation, bit for bit
+    (same per-element arithmetic; only the gather layout differs)."""
+    from densepose_tpu.ops.resize import resize_bilinear, resize_bilinear_smallc
+    x = jnp.asarray((RNG.rand(48, 64, 3) * 255).round().astype(np.float32))
+    k = min(800 / 48, 1333 / 64)
+    a = np.asarray(resize_bilinear(x, (61, 80), scale=(1.27, 1.27)))
+    b = np.asarray(resize_bilinear_smallc(x, (61, 80), scale=(1.27, 1.27)))
+    np.testing.assert_array_equal(a, b)
+    x2 = jnp.asarray(RNG.rand(2, 40, 30, 5).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(resize_bilinear(x2, (19, 17))),
+        np.asarray(resize_bilinear_smallc(x2, (19, 17))))
