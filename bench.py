@@ -71,6 +71,13 @@ def main():
             total += jnp.sum(out[k].astype(jnp.float32))
         return total
 
+    # one dispatch per frame: the inner jitted fn inlines into this outer
+    # jit, so forward+checksum go to the device as a single program (two
+    # dispatches measured ~0.8 ms/frame of pure host-tunnel overhead)
+    @jax.jit
+    def step(params, img):
+        return checksum(fn(params, img))
+
     iters = int(os.environ.get("BENCH_ITERS", "48"))
     rng = np.random.RandomState(0)
     # warmup + latency-probe frames are DISJOINT from the timed set, so no
@@ -85,15 +92,14 @@ def main():
     jax.block_until_ready(frames)
 
     # warmup: compile forward + checksum, then one true sync
-    _ = np.asarray(checksum(fn(pred.params, jnp.asarray(aux_frames[0]))))
+    _ = np.asarray(step(pred.params, jnp.asarray(aux_frames[0])))
 
     # serial end-to-end latency (includes host->device upload of the uint8
     # frame and the result fetch through whatever link is attached)
     lat = []
     for f in aux_frames[1:]:
         t0 = time.perf_counter()
-        out = fn(pred.params, jnp.asarray(f))
-        _ = np.asarray(checksum(out))
+        _ = np.asarray(step(pred.params, jnp.asarray(f)))
         lat.append(time.perf_counter() - t0)
     p50_e2e = sorted(lat)[len(lat) // 2]
 
@@ -105,7 +111,7 @@ def main():
     passes = []
     for _ in range(3):
         t0 = time.perf_counter()
-        sums = [checksum(fn(pred.params, f)) for f in frames]
+        sums = [step(pred.params, f) for f in frames]
         total = np.asarray(jnp.sum(jnp.stack(sums)))
         passes.append(time.perf_counter() - t0)
         assert np.isfinite(total), "non-finite checksum: outputs corrupt"

@@ -304,6 +304,103 @@ def roi_align_multilevel_matmul(
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
+def _pair_einsums_yfirst(wy_c, wx_c, f):
+    """pooled = Wy @ f @ Wx^T, Y-contraction first (see
+    roi_align_single_matmul for the dtype discipline)."""
+    rows = jnp.einsum("myh,hwc->mywc", wy_c, f, preferred_element_type=f.dtype)
+    return jnp.einsum("mxw,mywc->myxc", wx_c, rows,
+                      preferred_element_type=jnp.float32)
+
+
+def roi_align_multilevel_windowed(
+    feats: List[jnp.ndarray],
+    boxes: jnp.ndarray,
+    levels: jnp.ndarray,
+    scales: Sequence[float],
+    output_size: Tuple[int, int],
+    sampling_ratio: int,
+    aligned: bool,
+    chunk: int = 128,
+    window: int = 128,
+) -> jnp.ndarray:
+    """Separable-matmul multi-level ROIAlign with x-sorted column windows.
+
+    The plain matmul pooler contracts every chunk against the FULL width of
+    every level, so its (chunk, ·, W, C) intermediate round-trips ~2.6 GB of
+    HBM per frame at 800px. But an FPN-assigned box spans at most ~28
+    feature columns on its level, so after sorting boxes by x1 each chunk's
+    nonzero Wx columns cluster: pooling from a ``window``-column
+    ``dynamic_slice`` of the level is then bit-exact (the dropped columns
+    have exactly zero weight). A per-chunk ``lax.cond`` falls back to the
+    full-width path when a chunk's nonzero columns do not fit the window
+    (wide/elongated boxes), preserving exactness for every input. Levels
+    narrower than ``window`` take the plain path.
+
+    Results are scattered back to the caller's box order; value-identical to
+    roi_align_multilevel_matmul up to einsum reassociation.
+    """
+    assert sampling_ratio > 0
+    out_h, out_w = output_size
+    m = boxes.shape[0]
+    dtype = feats[0].dtype
+    boxes = boxes.astype(jnp.float32)
+
+    order = jnp.argsort(boxes[:, 0])
+    inv = jnp.argsort(order)
+    b_s = boxes[order]
+    lv_s = levels[order]
+
+    offset = 0.5 if aligned else 0.0
+    acc = None
+    for li, (feat, scale) in enumerate(zip(feats, scales)):
+        h, w = feat.shape[0], feat.shape[1]
+        c = feat.shape[2]
+        f = feat
+        start_w = b_s[:, 0] * scale - offset
+        start_h = b_s[:, 1] * scale - offset
+        roi_w = b_s[:, 2] * scale - offset - start_w
+        roi_h = b_s[:, 3] * scale - offset - start_h
+        if not aligned:
+            roi_w = jnp.maximum(roi_w, 1.0)
+            roi_h = jnp.maximum(roi_h, 1.0)
+        wy = _axis_weights(start_h, roi_h / out_h, out_h,
+                           sampling_ratio, h).astype(dtype)
+        wx = _axis_weights(start_w, roi_w / out_w, out_w,
+                           sampling_ratio, w).astype(dtype)
+
+        chunks = []
+        for s in range(0, m, chunk):
+            wy_c = wy[s:s + chunk]
+            wx_c = wx[s:s + chunk]
+            if w <= window:
+                chunks.append(_pair_einsums_yfirst(wy_c, wx_c, f))
+                continue
+
+            colnz = (wx_c != 0).any(axis=(0, 1))            # (W,)
+            idx = jnp.arange(w)
+            first = jnp.min(jnp.where(colnz, idx, w))
+            last = jnp.max(jnp.where(colnz, idx, -1))
+            w_lo = jnp.clip(first, 0, w - window)
+            fits = (last - w_lo) < window
+
+            def narrow(_, wy_c=wy_c, wx_c=wx_c, f=f, w_lo=w_lo):
+                fw = jax.lax.dynamic_slice(f, (0, w_lo, 0),
+                                           (f.shape[0], window, c))
+                wxw = jax.lax.dynamic_slice(
+                    wx_c, (0, 0, w_lo), (wx_c.shape[0], out_w, window))
+                return _pair_einsums_yfirst(wy_c, wxw, fw)
+
+            def wide(_, wy_c=wy_c, wx_c=wx_c, f=f):
+                return _pair_einsums_yfirst(wy_c, wx_c, f)
+
+            chunks.append(jax.lax.cond(fits, narrow, wide, None))
+
+        pooled = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+        sel = (lv_s == li).astype(jnp.float32)[:, None, None, None]
+        acc = pooled * sel if acc is None else acc + pooled * sel
+    return acc[inv].astype(dtype)
+
+
 def _on_tpu() -> bool:
     try:
         plat = jax.devices()[0].platform.lower()

@@ -442,3 +442,25 @@ def test_resize_bilinear_smallc_bit_exact():
     np.testing.assert_array_equal(
         np.asarray(resize_bilinear(x2, (19, 17))),
         np.asarray(resize_bilinear_smallc(x2, (19, 17))))
+
+
+def test_roi_align_windowed_matches_matmul():
+    """x-sorted window pooler == the plain matmul pooler, including wide
+    elongated boxes that overflow the window (cond fallback) and the
+    scatter back to caller box order."""
+    from densepose_tpu.ops.roi_align import (assign_boxes_to_levels,
+                                             roi_align_multilevel_matmul,
+                                             roi_align_multilevel_windowed)
+    feats = [jnp.asarray(RNG.randn(32 // (2 ** i), 40 // (2 ** i), 8)
+                         .astype(np.float32)) for i in range(4)]
+    scales = [0.25 / (2 ** i) for i in range(4)]
+    boxes = (RNG.rand(21, 4) * np.array([80, 60, 80, 60])).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + np.abs(boxes[:, 2:]) * 0.2 + 6
+    boxes[0] = [0.0, 10.0, 158.0, 14.0]   # elongated: overflows the window
+    b = jnp.asarray(boxes)
+    lv = assign_boxes_to_levels(b, 2, 5)
+    want = roi_align_multilevel_matmul(feats, b, lv, scales, (7, 7), 2, False)
+    got = roi_align_multilevel_windowed(feats, b, lv, scales, (7, 7), 2,
+                                        False, chunk=8, window=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
