@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .boxes import pairwise_iou
 
-_NEG = -1e30
+_NEG = -1e30  # effective -inf that survives fp16/bf16 casts of scores
 
 
 def _use_pallas() -> bool:
@@ -50,7 +50,7 @@ def _use_pallas() -> bool:
     return _PALLAS_OK
 
 
-_PALLAS_OK = None  # effective -inf that survives fp16/bf16 casts of scores
+_PALLAS_OK = None
 
 
 def nms_mask(

@@ -1,10 +1,21 @@
-"""Fused separable ROIAlign as a Pallas TPU kernel.
+"""Fused separable ROIAlign as a Pallas TPU kernel — EXPERIMENTAL, SLOWER.
 
-The XLA separable-matmul pooler (ops/roi_align.py::roi_align_multilevel_matmul)
-is bandwidth-bound: the (chunk, H, out_w, C) intermediate of the first
-contraction round-trips HBM — ~2.6 GB/frame for the 1000-proposal box pooler
-at 800px. This kernel keeps that intermediate in VMEM: for each chunk of
-boxes and each width-tile of one pyramid level it computes
+Status: correct (matches the XLA path to 1 bf16 ulp) but measured ~6x
+SLOWER than roi_align_multilevel_matmul end-to-end (42 vs 7 ms for the
+1000-proposal box pooler at 800px): the per-box Wx weighting of stage 2
+broadcasts lane-misaligned per-box scalars across the (chunk, out_h, TW, C)
+rows block, which Mosaic lowers as cross-lane shuffles; and a dense VPU
+stage 2 is inherently ~10 ms of vector work at these shapes. Kept as a
+documented experiment — a competitive version needs x-sorted boxes with
+per-(chunk, tile) skip flags to make stage 2 sparse (see
+docs/ARCHITECTURE.md "Measurement discipline"). NOT routed by default.
+
+The idea: the XLA separable-matmul pooler
+(ops/roi_align.py::roi_align_multilevel_matmul) is bandwidth-bound — the
+(chunk, H, out_w, C) intermediate of the first contraction round-trips HBM,
+~2.6 GB/frame for the 1000-proposal box pooler at 800px. This kernel keeps
+that intermediate in VMEM: for each chunk of boxes and each width-tile of
+one pyramid level it computes
 
     rows = Wy_chunk (chunk*out_h, H) @ feat_tile (H, TW*C)      [MXU]
     out[:, :, x, :] += sum_w Wx[x, :, w] * rows[:, :, w, :]     [VPU]
