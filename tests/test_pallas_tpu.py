@@ -75,3 +75,53 @@ def test_pallas_classed_nms_matches_xla_fixpoint():
     finally:
         nms_mod._PALLAS_OK = old
     np.testing.assert_array_equal(got, want)
+
+
+def test_merged_deconv_predictor_matches_separate_heads_on_tpu():
+    """The TPU-only merged chart-predictor path (one concatenated
+    conv_transpose + shift-add upsample, models/roi_heads.py) must match
+    running the four deconv heads separately with the gather resize."""
+    from densepose_tpu.config import load_config
+    from densepose_tpu.models import roi_heads as RH
+    from densepose_tpu.ops import conv_transpose2d, resize_bilinear
+    from densepose_tpu.checkpoint.transform import (random_torch_state,
+                                                    torch_state_to_jax)
+
+    cfg = load_config(
+        "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml")
+    spec = RH.densepose_predictor_spec(cfg)
+    p = torch_state_to_jax(random_torch_state(spec, seed=0), spec)
+    p = {k: jnp.asarray(v) for k, v in p.items()}
+    x = jnp.asarray(np.random.RandomState(1).randn(3, 28, 28, 512)
+                    .astype(np.float32))
+
+    out = jax.jit(lambda: RH.densepose_predictor_forward(p, x, cfg))()
+
+    prefix = "roi_heads.densepose_predictor"
+    names = {"coarse_segm": "ann_index_lowres", "fine_segm": "index_uv_lowres",
+             "u": "u_lowres", "v": "v_lowres"}
+
+    def separate(name):
+        y = conv_transpose2d(x, p[f"{prefix}.{name}.weight"],
+                             p[f"{prefix}.{name}.bias"], stride=2, padding=1,
+                             kernel_size=4)
+        return resize_bilinear(y, (112, 112), scale=(2.0, 2.0))
+
+    for key, name in names.items():
+        want = np.asarray(jax.jit(lambda name=name: separate(name))())
+        np.testing.assert_allclose(np.asarray(out[key]), want,
+                                   atol=2e-4, rtol=2e-3)
+
+
+def test_smallc_resize_matches_on_tpu():
+    """resize_bilinear_smallc (preprocess routing) vs the gather
+    formulation, on the actual chip in f32."""
+    from densepose_tpu.ops.resize import resize_bilinear, resize_bilinear_smallc
+    x = jnp.asarray((np.random.RandomState(0).rand(96, 160, 3) * 255)
+                    .round().astype(np.float32))
+    k = min(800 / 96, 1333 / 160)
+    a = np.asarray(jax.jit(
+        lambda: resize_bilinear(x, (100, 166), scale=(k, k)))())
+    b = np.asarray(jax.jit(
+        lambda: resize_bilinear_smallc(x, (100, 166), scale=(k, k)))())
+    np.testing.assert_array_equal(a, b)
