@@ -138,8 +138,15 @@ def _decode_value(v: Any) -> Any:
 
 
 def _coerce_value(value: Any, old: Any, full_key: str) -> Any:
-    """yacs-style type coercion of `value` to the type of `old`."""
-    if old is None:
+    """yacs-style type coercion of ``value`` to the type of ``old``.
+
+    The allowed casts are explicit (mirroring yacs'
+    ``_check_and_coerce_cfg_value_type``, plus the numeric widenings the
+    reference YAMLs rely on): list<->tuple, int->float, int->bool (0/1),
+    and a string containing a literal tuple/list. Anything else is a config
+    error and raises — permissive fall-through would silently accept typos.
+    """
+    if old is None or value is None:
         return value
     if type(value) is type(old):
         return value
@@ -149,24 +156,23 @@ def _coerce_value(value: Any, old: Any, full_key: str) -> Any:
             value = ast.literal_eval(value)
         except (ValueError, SyntaxError):
             pass
+        if type(value) is type(old):
+            return value
     if isinstance(old, tuple) and isinstance(value, list):
         return tuple(value)
     if isinstance(old, list) and isinstance(value, tuple):
         return list(value)
+    if isinstance(value, bool):
+        raise ValueError(
+            f"Type mismatch for config key {full_key}: got bool {value!r}, "
+            f"expected {type(old).__name__}")
+    if isinstance(old, bool) and isinstance(value, int) and value in (0, 1):
+        return bool(value)
     if isinstance(old, float) and isinstance(value, int):
         return float(value)
-    if isinstance(old, bool) is not isinstance(value, bool):
-        if isinstance(old, bool) and isinstance(value, int):
-            return bool(value)
-    if type(value) is type(old):
-        return value
-    if isinstance(old, (tuple, list)) or isinstance(value, (tuple, list)):
-        return value
-    if old is not None and value is not None and type(old) is not type(value):
-        # allow e.g. int -> float and str passthrough; be permissive like yacs
-        if isinstance(old, float) and isinstance(value, (int, float)):
-            return float(value)
-    return value
+    raise ValueError(
+        f"Type mismatch for config key {full_key}: cannot coerce "
+        f"{type(value).__name__} {value!r} to {type(old).__name__}")
 
 
 def _merge_into(src: CfgNode, dst: CfgNode, key_path: List[str]) -> None:
