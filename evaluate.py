@@ -95,7 +95,21 @@ def main():
         dp_gt.append(anns)
         print(f"image {idx + 1}/{len(images)}", end="\r", file=sys.stderr)
 
-    geodist = load_geodesics(args.geodesics) if args.geodesics else planar_uv_distance
+    if args.geodesics:
+        geodist = load_geodesics(args.geodesics)
+    else:
+        geodist = planar_uv_distance
+        print(
+            "\n"
+            "=" * 78 + "\n"
+            "WARNING: GPS/GPSm below use the PLANAR-UV STAND-IN distance, not\n"
+            "the official SMPL geodesic metric (the geodesic tables are external\n"
+            "data upstream DensePose downloads; neither this repo nor the\n"
+            "reference ships them). Numbers are NOT comparable to the published\n"
+            "dp. AP GPS/GPSm figures. Pass --geodesics file.py::build with a\n"
+            "builder wrapping your copy of the SMPL tables for the real metric.\n"
+            + "=" * 78,
+            file=sys.stderr)
     cfg = getattr(predictor, "cfg", None) or predictor.base.cfg
     # TTA runs report under *_TTA task names (the reference's TTA
     # quick_schedule expects ["bbox_TTA", "densepose_gps_TTA", ...])
