@@ -149,6 +149,10 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / REFERENCE_FPS, 3),
+        # per-pass wall times so consumers can see the spread behind the
+        # best-of-N headline (remote passes jitter by multiple ms)
+        "passes_s": [round(t, 3) for t in passes],
+        "fps_median_pass": round(iters / sorted(passes)[len(passes) // 2], 2),
     }
     print(json.dumps(result))
     print(f"# per-frame device time: {1e3 / fps:.1f} ms (worst case: all "

@@ -421,7 +421,11 @@ def densepose_predictor_forward(
         and upsample, so run them as ONE conv_transpose with the output
         channels concatenated (2+25+25+25 -> 77, one padded-to-128 MXU pass
         instead of four tiny-N passes) + one bilinear resize, then split.
-        Bitwise identical per channel to running them separately."""
+        Channelwise-independent: the deconv is bitwise identical per channel
+        to the separate heads; the up==2.0 branch swaps resize_bilinear
+        (lerp in compute dtype) for upsample2x_bilinear (fp32 accumulation),
+        which for bf16 inputs matches the separate heads only up to
+        fp32-accumulated upsample rounding (~2e-4 abs on logits)."""
         w_cat = jnp.concatenate([p[f"{prefix}.{n}.weight"] for n in names], axis=-1)
         b_cat = jnp.concatenate([p[f"{prefix}.{n}.bias"] for n in names], axis=-1)
         # (A polyphase-decomposed variant of this deconv measured SLOWER —

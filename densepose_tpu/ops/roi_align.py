@@ -337,7 +337,12 @@ def roi_align_multilevel_windowed(
     narrower than ``window`` take the plain path.
 
     Results are scattered back to the caller's box order; value-identical to
-    roi_align_multilevel_matmul up to einsum reassociation.
+    roi_align_multilevel_matmul up to einsum reassociation. One extra dtype
+    difference for bf16 features: this path keeps the pooled chunks in fp32
+    through the level-select and casts once at the end, while the matmul
+    path rounds each level's pooled output to the feature dtype first — so
+    bf16 results can differ by one rounding step (fp32 inputs match
+    exactly; tested).
     """
     assert sampling_ratio > 0
     out_h, out_w = output_size

@@ -8,6 +8,7 @@ import torch
 import torch.nn as nn
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from densepose_tpu.checkpoint.transform import torch_state_to_jax
@@ -144,3 +145,28 @@ def test_chart_predictor_parity():
         g = np.asarray(got[key])
         assert g.shape == w.shape, (key, g.shape, w.shape)
         np.testing.assert_allclose(g, w, atol=5e-5, rtol=1e-4, err_msg=key)
+
+
+def test_chart_predictor_merged_path_parity_on_cpu(monkeypatch):
+    """The default-on-TPU merged predictor path (one concatenated deconv +
+    shift-add upsample), forced on CPU via monkeypatched _on_tpu so the
+    always-run suite covers it (ADVICE r1: previously it had only the
+    opt-in on-chip test). Plain jit, no mesh — the known XLA:CPU crash is
+    specific to the GSPMD mesh compile."""
+    from densepose_tpu.ops import roi_align as RA
+
+    cfg = get_cfg()
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.PREDICTOR_NAME = "DensePoseChartPredictor"
+    spec = densepose_predictor_spec(cfg)
+    state = {k: (RNG.randn(*ps.shape) * 0.1).astype(np.float32)
+             for k, ps in spec.items()}
+    params = {k: jnp.asarray(v) for k, v in torch_state_to_jax(state, spec).items()}
+    dim_in = cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_DIM
+    x = jnp.asarray(RNG.randn(2, 28, 28, dim_in).astype(np.float32))
+
+    want = jax.jit(lambda: densepose_predictor_forward(params, x, cfg))()
+    monkeypatch.setattr(RA, "_on_tpu", lambda: True)
+    got = jax.jit(lambda: densepose_predictor_forward(params, x, cfg))()
+    for key in want:
+        np.testing.assert_allclose(np.asarray(got[key]), np.asarray(want[key]),
+                                   atol=2e-4, rtol=2e-3, err_msg=key)
