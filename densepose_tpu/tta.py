@@ -13,11 +13,17 @@ supplies the capability:
   threshold and reduced to the top ``TEST.DETECTIONS_PER_IMAGE`` — mirroring
   upstream's ``_merge_detections``,
 * the DensePose head (stage 2) then runs on the *merged* boxes on every
-  non-flipped view and the SIUV logit maps are averaged — mirroring upstream
-  DensePose TTA's ``_reduce_pred_densepose``. Flipped views contribute to box
-  merging only: mapping flipped chart outputs back requires the
-  ``densepose_UV_symmetry_transforms.mat`` tables, external data neither this
-  repo nor the reference ships.
+  view — mirroring upstream DensePose TTA's ``_reduce_pred_densepose``:
+  - SIUV logit maps from non-flipped views are averaged directly,
+  - flipped views contribute *segmentation* evidence: their coarse/fine
+    segm maps are mirrored along W and the fine-segm channels permuted by
+    the static 24-part left/right symmetry (``PART_SYMMETRY`` — a fixed
+    involution, no external data needed), then averaged in,
+  - U/V stay non-flipped-only: mapping flipped UV values back requires the
+    continuous ``densepose_UV_symmetry_transforms.mat`` tables, external
+    data neither this repo nor the reference ships. (Legacy 15-channel
+    coarse-segm models also keep flip box-merge-only — their coarse
+    channels are body parts needing their own permutation.)
 
 Every view is a separate static-shape jit (one compile per (H, W, min_size,
 flip) bucket) — TTA trades compile count for accuracy, exactly like the
@@ -35,6 +41,28 @@ import numpy as np
 
 from .models.rcnn import compute_resize
 from .ops.nms import batched_nms_mask
+
+
+# DensePose 24-part left/right symmetry (parts are 1-indexed; torso
+# front/back 1-2 are self-symmetric, every later left/right pair is
+# adjacent). This is the Index_Symmetry_List of the DensePose-COCO
+# annotation tooling — a fixed involution, unlike the continuous UV
+# symmetry transforms which are external data.
+PART_SYMMETRY = (1, 2, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13,
+                 16, 15, 18, 17, 20, 19, 22, 21, 24, 23)
+# as a 25-channel permutation on fine-segm logits (channel 0 = background)
+FINE_SEGM_PERM = (0,) + PART_SYMMETRY
+
+
+def unflip_chart_segm(coarse_segm: jnp.ndarray, fine_segm: jnp.ndarray):
+    """Map chart segmentation maps computed on a horizontally-flipped view
+    back to original-image orientation: mirror the W axis (maps are NHWC)
+    and permute the fine-segm part channels by the left/right symmetry.
+    Valid for 2-channel (fg/bg) coarse segm, whose channels are symmetric."""
+    assert coarse_segm.shape[-1] == 2, coarse_segm.shape
+    cs = coarse_segm[:, :, ::-1, :]
+    fs = fine_segm[:, :, ::-1, :][..., jnp.asarray(FINE_SEGM_PERM)]
+    return cs, fs
 
 
 def merge_detections(boxes: jnp.ndarray, scores: jnp.ndarray,
@@ -66,6 +94,13 @@ class TTAPredictor:
         self.nms_thresh = float(cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST)
         self.topk = int(cfg.TEST.DETECTIONS_PER_IMAGE)
         self.densepose_on = bool(cfg.MODEL.DENSEPOSE_ON)
+        # flipped views can contribute segmentation evidence only for chart
+        # predictors with fg/bg coarse segm (see module docstring)
+        self.flip_segm = (
+            self.densepose_on and self.flip
+            and cfg.MODEL.ROI_DENSEPOSE_HEAD.PREDICTOR_NAME
+            in ("DensePoseChartPredictor", "DensePoseChartWithConfidencePredictor")
+            and cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_COARSE_SEGM_CHANNELS == 2)
         self._s1_cache: Dict[Tuple, callable] = {}
         self._s2_cache: Dict[Tuple, callable] = {}
         self._merge = jax.jit(partial(
@@ -97,7 +132,7 @@ class TTAPredictor:
         img_flip = img[:, ::-1, :]
 
         all_boxes, all_scores, all_classes, all_valid = [], [], [], []
-        view_feats = []  # (features, view_scale w1/w0 x h1/h0) per non-flipped view
+        view_feats = []  # (features, view_scale (h1/h0, w1/w0), flipped, ms)
         for ms in self.min_sizes:
             s1 = self._stage1((h0, w0), ms)
             res, feats, _ = s1(self.base.params, img)
@@ -106,9 +141,9 @@ class TTAPredictor:
             all_classes.append(res["pred_classes"])
             all_valid.append(res["valid"])
             _, h1, w1 = compute_resize(h0, w0, ms, self.max_size)
-            view_feats.append((feats, (h1 / h0, w1 / w0)))
+            view_feats.append((feats, (h1 / h0, w1 / w0), False, ms))
             if self.flip:
-                res_f, _, _ = s1(self.base.params, img_flip)
+                res_f, feats_f, _ = s1(self.base.params, img_flip)
                 bf = res_f["pred_boxes"]
                 # unflip: x1 = W - x2', x2 = W - x1'
                 bf = jnp.stack([w0 - bf[:, 2], bf[:, 1],
@@ -117,6 +152,8 @@ class TTAPredictor:
                 all_scores.append(res_f["scores"])
                 all_classes.append(res_f["pred_classes"])
                 all_valid.append(res_f["valid"])
+                if self.flip_segm:
+                    view_feats.append((feats_f, (h1 / h0, w1 / w0), True, ms))
 
         boxes, scores, classes, valid = self._merge(
             jnp.concatenate(all_boxes), jnp.concatenate(all_scores),
@@ -132,15 +169,37 @@ class TTAPredictor:
         }
 
         if self.densepose_on:
-            acc = None
-            for (feats, (sy, sx)), ms in zip(view_feats, self.min_sizes):
-                boxes_net = boxes * jnp.asarray([sx, sy, sx, sy], jnp.float32)
+            acc = None          # all maps, non-flipped views
+            segm_acc = None     # (coarse, fine) evidence from flipped views
+            n_plain = n_flip = 0
+            for feats, (sy, sx), flipped, ms in view_feats:
+                if flipped:
+                    # merged boxes mapped into the flipped view's coords
+                    bx = jnp.stack([w0 - boxes[:, 2], boxes[:, 1],
+                                    w0 - boxes[:, 0], boxes[:, 3]], axis=1)
+                else:
+                    bx = boxes
+                boxes_net = bx * jnp.asarray([sx, sy, sx, sy], jnp.float32)
                 dp = self._stage2((h0, w0), ms)(self.base.params, feats, boxes_net)
+                if flipped:
+                    cs, fs = unflip_chart_segm(
+                        dp["pred_densepose_coarse_segm"].astype(jnp.float32),
+                        dp["pred_densepose_fine_segm"].astype(jnp.float32))
+                    segm_acc = ((cs, fs) if segm_acc is None
+                                else (segm_acc[0] + cs, segm_acc[1] + fs))
+                    n_flip += 1
+                    continue
                 dp = {k: v.astype(jnp.float32) for k, v in dp.items()}
-                acc = dp if acc is None else {
-                    k: acc[k] + dp[k] for k in acc}
-            n = float(len(view_feats))
-            result.update({k: v / n for k, v in acc.items()})
+                acc = dp if acc is None else {k: acc[k] + dp[k] for k in acc}
+                n_plain += 1
+            out = {k: v / n_plain for k, v in acc.items()}
+            if segm_acc is not None:
+                n_all = float(n_plain + n_flip)
+                out["pred_densepose_coarse_segm"] = (
+                    acc["pred_densepose_coarse_segm"] + segm_acc[0]) / n_all
+                out["pred_densepose_fine_segm"] = (
+                    acc["pred_densepose_fine_segm"] + segm_acc[1]) / n_all
+            result.update(out)
         return result
 
     def predict_numpy(self, image_bgr_u8: np.ndarray) -> Dict[str, np.ndarray]:

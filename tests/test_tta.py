@@ -105,6 +105,81 @@ def test_flip_box_merge_is_flip_invariant():
             atol=1e-3)
 
 
+def test_unflip_chart_segm_mirror_and_permutation():
+    """The flipped-view unflip: W-axis mirror + the static 24-part
+    left/right channel permutation (hand-checked pairs)."""
+    import jax.numpy as jnp
+    from densepose_tpu.tta import FINE_SEGM_PERM, PART_SYMMETRY, unflip_chart_segm
+
+    # the symmetry is a fixed involution: torso 1/2 self-map, later pairs swap
+    assert PART_SYMMETRY[0] == 1 and PART_SYMMETRY[1] == 2
+    assert PART_SYMMETRY[2] == 4 and PART_SYMMETRY[3] == 3  # hands swap
+    for part, sym in enumerate(PART_SYMMETRY, start=1):
+        assert PART_SYMMETRY[sym - 1] == part  # involution
+    assert sorted(FINE_SEGM_PERM) == list(range(25))
+
+    rng = np.random.RandomState(0)
+    coarse = jnp.asarray(rng.randn(2, 4, 6, 2).astype(np.float32))
+    # fine map: channel c holds constant value c, with a spatial marker
+    fine = np.tile(np.arange(25, dtype=np.float32), (2, 4, 6, 1))
+    fine[:, :, 0, :] += 100.0  # marker on the left edge
+    cs, fs = unflip_chart_segm(coarse, jnp.asarray(fine))
+    np.testing.assert_array_equal(np.asarray(cs),
+                                  np.asarray(coarse)[:, :, ::-1, :])
+    fs = np.asarray(fs)
+    # channel c now holds the symmetric part's value
+    np.testing.assert_array_equal(fs[0, 0, 1, :],
+                                  np.asarray(FINE_SEGM_PERM, np.float32))
+    # the left-edge marker moved to the right edge
+    assert (fs[:, :, -1, :] >= 100).all() and (fs[:, :, 0, :] < 100).all()
+
+
+def test_flip_contributes_segm_evidence():
+    """Single view + flip: TTA segm maps must equal
+    (plain + unflipped-flipped)/2 on the merged boxes, while U/V stay
+    plain-view-only — computed here from the model pieces directly."""
+    import jax
+    import jax.numpy as jnp
+    from densepose_tpu.models.rcnn import compute_resize
+    from densepose_tpu.tta import unflip_chart_segm
+
+    cfg = _cfg(["TEST.AUG.ENABLED", "True",
+                "TEST.AUG.MIN_SIZES", "(64,)",
+                "TEST.AUG.MAX_SIZE", "128",
+                "TEST.AUG.FLIP", "True"])
+    base = DensePosePredictor(cfg, seed=0)
+    tta = TTAPredictor(base)
+    assert tta.flip_segm
+    got = tta(IMG)
+
+    s1 = jax.jit(base.model.forward_stage1)
+    s2 = jax.jit(base.model.forward_densepose)
+    _, feats, _ = s1(base.params, jnp.asarray(IMG))
+    _, feats_f, _ = s1(base.params, jnp.asarray(IMG[:, ::-1, :].copy()))
+    _, h1, w1 = compute_resize(48, 64, 64, 128)
+    scale = jnp.asarray([w1 / 64, h1 / 48, w1 / 64, h1 / 48], jnp.float32)
+    boxes = got["pred_boxes"]
+    dp = s2(base.params, feats, boxes * scale)
+    bf = jnp.stack([64 - boxes[:, 2], boxes[:, 1],
+                    64 - boxes[:, 0], boxes[:, 3]], axis=1)
+    dp_f = s2(base.params, feats_f, bf * scale)
+    cs, fs = unflip_chart_segm(
+        dp_f["pred_densepose_coarse_segm"].astype(jnp.float32),
+        dp_f["pred_densepose_fine_segm"].astype(jnp.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(got["pred_densepose_fine_segm"]),
+        (np.asarray(dp["pred_densepose_fine_segm"], np.float32)
+         + np.asarray(fs)) / 2, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got["pred_densepose_coarse_segm"]),
+        (np.asarray(dp["pred_densepose_coarse_segm"], np.float32)
+         + np.asarray(cs)) / 2, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got["pred_densepose_u"]),
+        np.asarray(dp["pred_densepose_u"], np.float32), atol=1e-4, rtol=1e-4)
+
+
 def test_tta_cli_flow(tmp_path):
     """run.py picks up TEST.AUG.ENABLED from the config (the reference's TTA
     quick_schedule) and routes through TTAPredictor."""
