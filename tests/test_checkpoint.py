@@ -128,3 +128,65 @@ def test_full_pkl_roundtrip_detectron2_format():
     assert "backbone.bottom_up.stem.conv1.bias" in params
     # deconv kernels converted to forward-conv layout
     assert params["roi_heads.densepose_predictor.u_lowres.weight"].shape == (4, 4, 512, 25)
+
+
+# ---------------------------------------------------------------------------
+# Real-checkpoint key manifests (VERDICT r1 #3 / SURVEY section 7.2 step 1)
+# ---------------------------------------------------------------------------
+
+def _manifest_case(zoo_name):
+    """Load a fixture manifest (generated from the reference's own torch
+    model by tools/gen_checkpoint_manifest.py — the detectron2-zoo pkl key
+    set, e.g. model_final_162be9.pkl for s1x) and our matching model spec."""
+    import json
+
+    from densepose_tpu import model_zoo
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        f"manifest_{zoo_name}.json")
+    with open(path) as f:
+        manifest = json.load(f)
+    cfg = model_zoo.get_config(zoo_name)
+    spec = build_model(cfg).spec()
+    return manifest, spec
+
+
+def _assert_full_alignment(manifest, spec):
+    from densepose_tpu.checkpoint.pkl_loader import align_state_dicts
+
+    ckpt = {k: np.zeros(shape, np.float32)
+            for k, shape in manifest["keys"].items()}
+    shapes = {k: v.shape for k, v in spec.items()}
+    aligned = align_state_dicts(list(spec.keys()), shapes, ckpt, False)
+    missing = sorted(set(spec) - set(aligned))
+    assert not missing, f"model keys without checkpoint match: {missing[:10]}"
+    # and the checkpoint is fully consumed — no unexpected keys
+    assert len(aligned) == len(spec) == len(manifest["keys"])
+    for k, v in aligned.items():
+        assert tuple(spec[k].shape) == tuple(v.shape), k
+
+
+def test_manifest_alignment_s1x():
+    """100% of model_final_162be9.pkl's keys load into the s1x model spec
+    through the suffix matcher, and every model key is covered."""
+    manifest, spec = _manifest_case("densepose_rcnn_R_50_FPN_s1x")
+    assert manifest["checkpoint"] == "model_final_162be9.pkl"
+    _assert_full_alignment(manifest, spec)
+
+
+def test_manifest_alignment_wc2m():
+    """WC2M: the confidence deconv weights (sigma_2/kappa_u/kappa_v +
+    segm confidences) are declared in the spec so the checkpoint loads them
+    (outputs dropped, the reference quirk)."""
+    manifest, spec = _manifest_case("densepose_rcnn_R_50_FPN_WC2M_s1x")
+    assert any("sigma_2_lowres" in k for k in manifest["keys"])
+    assert any("kappa_u_lowres" in k for k in manifest["keys"])
+    _assert_full_alignment(manifest, spec)
+
+
+def test_manifest_alignment_cse():
+    """CSE: embedding predictor + smpl_27554 vertex-feature embedder keys."""
+    manifest, spec = _manifest_case("densepose_rcnn_R_50_FPN_soft_s1x_cse")
+    assert any("embed_lowres" in k for k in manifest["keys"])
+    assert any("embedder_smpl_27554" in k for k in manifest["keys"])
+    _assert_full_alignment(manifest, spec)
