@@ -6,12 +6,18 @@ design:
 
 * a reader thread decodes frames ahead into a bounded queue (host CPU work
   overlaps device compute),
-* frames are batched to the number of local devices and dispatched through
-  the data-parallel jitted forward (parallel/mesh.py) — on a single chip the
-  batch is 1 and this degenerates to simple prefetch,
-* device->host transfer of the *previous* batch overlaps the current batch's
-  compute (double buffering via JAX's async dispatch),
+* with ``batch`` > 1 (default: the local device count) frames are grouped
+  and dispatched through ``predictor.predict_batch`` — on a multi-device
+  runtime the batch shards over the ``data`` mesh axis
+  (parallel/mesh.py::data_parallel_forward), on one chip it vmaps to
+  amortize dispatch overhead; the tail group is padded with repeated frames
+  and trimmed on the host,
+* device->host transfer of the *previous* dispatch overlaps the current
+  one's compute (double buffering via JAX's async dispatch),
 * KeyboardInterrupt flushes the partial output video, matching run.py:58-62.
+
+Batched and per-frame paths are invariant frame-for-frame (tested in
+tests/test_e2e.py::test_video_batched_matches_serial).
 """
 
 from __future__ import annotations
@@ -23,17 +29,32 @@ from typing import Optional
 import numpy as np
 
 
+def _default_batch(predictor) -> int:
+    if not hasattr(predictor, "predict_batch"):
+        return 1  # e.g. the TTA wrapper: per-frame only
+    try:
+        import jax
+        return max(1, len(jax.devices()))
+    except Exception:
+        return 1
+
+
 def run_video(predictor, visualizer, input_path: str, save_path: str,
               batch: int = 0) -> None:
     import time
 
     import cv2
 
+    if batch <= 0:
+        batch = _default_batch(predictor)
+    if batch > 1 and not hasattr(predictor, "predict_batch"):
+        batch = 1
+
     cap = cv2.VideoCapture(input_path)
     n_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     fps = cap.get(cv2.CAP_PROP_FPS) or 30
 
-    frame_q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=16)
+    frame_q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=4 * batch)
 
     def reader():
         while True:
@@ -48,12 +69,9 @@ def run_video(predictor, visualizer, input_path: str, save_path: str,
 
     writer = None
     processed = 0
-    pending = []  # (frame, device_outputs) — drain one behind to overlap D2H
 
-    def flush(frame, outputs):
+    def write_vis(image_vis):
         nonlocal writer, processed
-        host = predictor.numpy_outputs(outputs)
-        image_vis = visualizer.visualize(frame, host)
         if writer is None:
             writer = cv2.VideoWriter(
                 save_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
@@ -62,33 +80,82 @@ def run_video(predictor, visualizer, input_path: str, save_path: str,
         processed += 1
         print(f"Frame {processed}/{n_frames} processed", end="\r")
 
+    def flush(frame, outputs):
+        write_vis(visualizer.visualize(frame, predictor.numpy_outputs(outputs)))
+
+    def flush_group(frames, outputs, count):
+        # ONE device->host fetch per key for the whole batch (per-frame
+        # device-array slicing would dispatch eager ops — seconds each over
+        # a remote tunnel), then split into per-frame dicts on the host;
+        # padded tail rows are dropped.
+        host = {k: np.asarray(v) for k, v in outputs.items()}
+        for i in range(count):
+            flush(frames[i], {k: v[i] for k, v in host.items()})
+
     t_start = None
+    t_frames = 0  # frames counted toward the steady-state fps figure
     try:
-        while True:
-            frame = frame_q.get()
-            if frame is None:
-                break
-            if t_start is None:
-                # exclude the first frame's compile from the fps figure
-                outputs = predictor(frame)
-                flush(frame, outputs)
-                t_start = time.perf_counter()
-                continue
-            outputs = predictor(frame)  # async dispatch; returns immediately
-            pending.append((frame, outputs))
-            if len(pending) > 1:
+        if batch == 1:
+            pending = []  # (frame, outputs) — drain one behind to overlap D2H
+            while True:
+                frame = frame_q.get()
+                if frame is None:
+                    break
+                if t_start is None:
+                    # exclude the first frame's compile from the fps figure
+                    flush(frame, predictor(frame))
+                    t_start = time.perf_counter()
+                    continue
+                pending.append((frame, predictor(frame)))  # async dispatch
+                if len(pending) > 1:
+                    flush(*pending.pop(0))
+                    t_frames += 1
+            while pending:
                 flush(*pending.pop(0))
-        while pending:
-            flush(*pending.pop(0))
+                t_frames += 1
+        else:
+            pending = []  # (frames, outputs, count)
+            group: list = []
+            eof = False
+            while not eof or group:
+                if not eof:
+                    frame = frame_q.get()
+                    if frame is None:
+                        eof = True
+                    else:
+                        group.append(frame)
+                        if len(group) < batch:
+                            continue
+                if not group:
+                    break
+                count = len(group)
+                # pad the tail group so the batched compile is reused
+                padded = group + [group[-1]] * (batch - count)
+                outs = predictor.predict_batch(np.stack(padded))
+                group = []
+                if t_start is None:
+                    # first dispatch carries the compile; flush synchronously
+                    flush_group(padded, outs, count)
+                    t_start = time.perf_counter()
+                    continue
+                pending.append((padded, outs, count))
+                if len(pending) > 1:
+                    frames_, outs_, count_ = pending.pop(0)
+                    flush_group(frames_, outs_, count_)
+                    t_frames += count_
+            while pending:
+                frames_, outs_, count_ = pending.pop(0)
+                flush_group(frames_, outs_, count_)
+                t_frames += count_
     except KeyboardInterrupt:
         pass
 
     if writer is not None:
         writer.release()
         msg = f"\nVideo saved to {save_path}"
-        if t_start is not None and processed > 1:
-            fps_eff = (processed - 1) / (time.perf_counter() - t_start)
-            msg += f" ({fps_eff:.1f} fps steady-state)"
+        if t_start is not None and t_frames > 0:
+            fps_eff = t_frames / (time.perf_counter() - t_start)
+            msg += f" ({fps_eff:.1f} fps steady-state, batch={batch})"
         print(msg)
     else:
         print("No frames processed")

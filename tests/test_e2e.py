@@ -68,6 +68,56 @@ def test_video_flow(tmp_path):
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
 
 
+class _RecordingVisualizer:
+    """Captures the per-frame numpy outputs run_video hands the visualizer."""
+
+    def __init__(self):
+        self.outs = []
+
+    def visualize(self, frame, host_outputs):
+        self.outs.append(host_outputs)
+        return frame.copy()
+
+
+def test_video_batched_matches_serial(tmp_path):
+    """SURVEY section 4 item 4: N-batched video output must equal the 1-frame
+    serial output frame-for-frame. batch=2 over 5 frames also exercises the
+    padded tail group (2+2+1)."""
+    cv2 = pytest.importorskip("cv2")
+    from densepose_tpu.predictor import DensePosePredictor
+    from densepose_tpu.parallel.pipeline import run_video
+
+    vid_path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+    rng = np.random.RandomState(0)
+    for i in range(5):
+        w.write((rng.rand(48, 64, 3) * 255).astype(np.uint8))
+    w.release()
+
+    cfg = _tiny_cfg()
+    cfg.freeze()
+    pred = DensePosePredictor(cfg, seed=0)
+
+    rec_serial = _RecordingVisualizer()
+    run_video(pred, rec_serial, vid_path, str(tmp_path / "a.mp4"), batch=1)
+    rec_batched = _RecordingVisualizer()
+    run_video(pred, rec_batched, vid_path, str(tmp_path / "b.mp4"), batch=2)
+
+    assert len(rec_serial.outs) == len(rec_batched.outs) == 5
+    for f, (a, b) in enumerate(zip(rec_serial.outs, rec_batched.outs)):
+        assert set(a) == set(b)
+        assert a["num_instances"] == b["num_instances"], f
+        for k in a:
+            # the batched path compiles a different (vmapped, non-switched)
+            # graph; XLA fusion differences leave small absolute residue on
+            # the logit-scale maps — semantic, not bitwise, invariance.
+            # rtol stays 0: near-zero logits make relative error meaningless.
+            atol = 5e-2 if k.startswith("pred_densepose_") else 1e-3
+            np.testing.assert_allclose(
+                np.asarray(a[k], np.float32), np.asarray(b[k], np.float32),
+                atol=atol, rtol=0, err_msg=f"frame {f}: {k}")
+
+
 def test_export_import_roundtrip(tmp_path, monkeypatch):
     """export.py writes an .npz bundle that the predictor loads; outputs match
     the direct-from-pkl path exactly."""
