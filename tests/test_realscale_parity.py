@@ -1,0 +1,483 @@
+"""REAL-SCALE per-stage parity: the R50-FPN s1x model at its true channel
+widths (64-ch stem, 256/512/1024/2048 ResNet stages, 256-ch FPN, 512-ch
+DensePose head) on a ~400px input, fp32 CPU, against a width-generic
+torch+numpy twin — per-stage activations asserted stage by stage
+(SURVEY.md section 4 item 2; VERDICT r1 #2: the tiny-width twin cannot see
+channel-width-dependent effects like accumulation drift over 512-ch conv
+stacks or the 1e-8 level-assignment epsilon at real box sizes).
+
+Also measures and bounds the bfloat16 end-to-end drift envelope vs the fp32
+run (the serving dtype's error budget).
+
+Everything here is slow (tens of GFLOPs per side on CPU) — marked @slow;
+run explicitly with `python -m pytest tests/test_realscale_parity.py -q`.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from densepose_tpu import model_zoo
+from densepose_tpu.checkpoint.transform import torch_state_to_jax
+from densepose_tpu.models.rcnn import build_model
+from tests.reference_ops import nms_np, roi_align_np
+from tests.test_full_parity import conv_b, conv_bn, decode_np, grid_anchors_np, t
+
+pytestmark = pytest.mark.slow
+
+RNG = np.random.RandomState(20240817)
+
+# 480x640 input -> k = 400/480 -> 400x533 resized -> 416x544 padded.
+# Real channel widths everywhere; only the per-image slot counts are capped
+# (24 DensePose slots) to keep CPU time sane — those are shapes, not widths.
+H0, W0 = 480, 640
+
+
+def real_cfg():
+    cfg = model_zoo.get_config("densepose_rcnn_R_50_FPN_s1x").clone()
+    cfg.defrost()
+    cfg.INPUT.MIN_SIZE_TEST = 400
+    cfg.INPUT.MAX_SIZE_TEST = 667
+    cfg.TEST.DETECTIONS_PER_IMAGE = 24
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.3
+    cfg.freeze()
+    return cfg
+
+
+def make_state(spec, scale=0.04):
+    """Random weights at real widths. Small conv std keeps activations from
+    exploding through the 50-conv backbone."""
+    state = {}
+    for name, ps in spec.items():
+        if name.endswith("running_var"):
+            state[name] = (RNG.rand(*ps.shape) * 0.5 + 0.75).astype(np.float32)
+        elif name.endswith("running_mean"):
+            state[name] = (RNG.randn(*ps.shape) * 0.05).astype(np.float32)
+        elif name.endswith(".norm.weight"):
+            state[name] = (RNG.rand(*ps.shape) * 0.5 + 0.75).astype(np.float32)
+        elif name.endswith(".norm.bias"):
+            state[name] = (RNG.randn(*ps.shape) * 0.05).astype(np.float32)
+        else:
+            state[name] = (RNG.randn(*ps.shape) * scale).astype(np.float32)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# width-generic torch twin (stage-tapped)
+# ---------------------------------------------------------------------------
+
+def twin_preprocess(image_u8, cfg):
+    h0, w0 = image_u8.shape[:2]
+    k = min(cfg.INPUT.MIN_SIZE_TEST / min(h0, w0),
+            cfg.INPUT.MAX_SIZE_TEST / max(h0, w0))
+    img = t(image_u8).permute(2, 0, 1)[None]
+    # The reference interpolates the raw uint8 tensor (defaults.py:87-89).
+    # torch's uint8 CPU kernel is a fixed-point approximation that differs
+    # from exact rounding by 1 LSB on ~25% of pixels AND is
+    # platform-dependent inside torch itself — so the twin implements the
+    # mathematical spec (float bilinear + round-half-even), which is what
+    # our pipeline quantizes to. The divergence of torch's uint8 kernel
+    # from this spec is measured separately in
+    # test_torch_uint8_resize_divergence_is_one_lsb.
+    img = torch.round(F.interpolate(img.float(), scale_factor=k,
+                                    mode="bilinear", align_corners=False)
+                      ).clamp(0, 255)
+    h1, w1 = img.shape[-2:]
+    x = img
+    x = (x - torch.tensor(cfg.MODEL.PIXEL_MEAN)[None, :, None, None]) \
+        / torch.tensor(cfg.MODEL.PIXEL_STD)[None, :, None, None]
+    hp = int(np.ceil(h1 / 32) * 32)
+    wp = int(np.ceil(w1 / 32) * 32)
+    x = F.pad(x, (0, wp - w1, 0, hp - h1))
+    return x, (h1, w1), (hp, wp)
+
+
+def twin_backbone_stages(state, x, cfg):
+    """Width-generic R50 (stride_in_1x1) + FPN, returning every stage."""
+    depth = cfg.MODEL.RESNETS.DEPTH
+    assert depth == 50
+    blocks = [3, 4, 6, 3]
+    stem_out = cfg.MODEL.RESNETS.STEM_OUT_CHANNELS
+    res2_out = cfg.MODEL.RESNETS.RES2_OUT_CHANNELS
+    assert cfg.MODEL.RESNETS.STRIDE_IN_1X1
+
+    p = "backbone.bottom_up"
+    stem = F.max_pool2d(F.relu(conv_bn(state, f"{p}.stem.conv1", x, 2, 3)), 3, 2, 1)
+    stages = {"stem": stem}
+    xcur = stem
+    cin = stem_out
+    for si, n in enumerate(blocks):
+        cout = res2_out * (2 ** si)
+        stage = f"{p}.res{si + 2}"
+        first_stride = 1 if si == 0 else 2
+        for i in range(n):
+            stride = first_stride if i == 0 else 1
+            name = f"{stage}.{i}"
+            out = F.relu(conv_bn(state, f"{name}.conv1", xcur, stride))
+            out = F.relu(conv_bn(state, f"{name}.conv2", out, 1, 1))
+            out = conv_bn(state, f"{name}.conv3", out)
+            has_shortcut = f"{name}.shortcut.weight" in state
+            sc = conv_bn(state, f"{name}.shortcut", xcur, stride) if has_shortcut else xcur
+            xcur = F.relu(out + sc)
+        stages[f"res{si + 2}"] = xcur
+        cin = cout
+
+    prev = None
+    for f in ["res5", "res4", "res3", "res2"]:
+        si = int(f[3:])
+        lat = conv_b(state, f"backbone.fpn_lateral{si}", stages[f])
+        if prev is not None:
+            lat = lat + F.interpolate(prev, scale_factor=2.0, mode="nearest")
+        prev = lat
+        stages[f"p{si}"] = conv_b(state, f"backbone.fpn_output{si}", lat, 1, 1)
+    stages["p6"] = F.max_pool2d(stages["p5"], 1, 2, 0)
+    return stages
+
+
+def twin_rpn(state, feats, cfg, hp, wp):
+    """RPN head + dynamic-shape proposal selection; returns per-level logits
+    and the final proposals (boxes, scores)."""
+    levels = list(cfg.MODEL.RPN.IN_FEATURES)
+    strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
+    sizes = {f: s[0] for f, s in zip(levels, cfg.MODEL.ANCHOR_GENERATOR.SIZES)}
+    ars = list(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0])
+    a = len(ars)
+
+    logits_levels = {}
+    boxes_l, scores_l = [], []
+    for f in levels:
+        feat = feats[f]
+        shared = conv_b(state, "proposal_generator.rpn_head.conv", feat, 1, 1, relu=True)
+        logits = conv_b(state, "proposal_generator.rpn_head.objectness_logits", shared)
+        deltas = conv_b(state, "proposal_generator.rpn_head.anchor_deltas", shared)
+        logits_levels[f] = logits
+        hh, ww = logits.shape[-2:]
+        lg = logits[0].permute(1, 2, 0).reshape(-1).detach().numpy()
+        dl = deltas[0].reshape(a, 4, hh, ww).permute(2, 3, 0, 1).reshape(-1, 4).detach().numpy()
+        anc = grid_anchors_np(hh, ww, strides[f], sizes[f], ars)
+        kk = min(len(lg), cfg.MODEL.RPN.PRE_NMS_TOPK_TEST)
+        idx = np.argsort(-lg, kind="stable")[:kk]
+        boxes_l.append(decode_np(dl[idx], anc[idx]))
+        scores_l.append(lg[idx])
+
+    props, pscores = [], []
+    for b, s in zip(boxes_l, scores_l):
+        b = b.copy()
+        # the reference's swapped (W, H) proposal clip (rpn.py quirk)
+        b[:, 0] = b[:, 0].clip(0, hp)
+        b[:, 1] = b[:, 1].clip(0, wp)
+        b[:, 2] = b[:, 2].clip(0, hp)
+        b[:, 3] = b[:, 3].clip(0, wp)
+        # drop nonfinite boxes (proposal_utils.py:102-113). The empty-box
+        # filter uses >= 0 (structures.py:115-122), so boxes collapsed to
+        # zero width by the clip are KEPT — a reference quirk.
+        ne = ((b[:, 2] - b[:, 0]) >= 0) & ((b[:, 3] - b[:, 1]) >= 0) \
+            & np.isfinite(b).all(axis=1) & np.isfinite(s)
+        b, s = b[ne], s[ne]
+        keep = nms_np(b, s, cfg.MODEL.RPN.NMS_THRESH)
+        props.append(b[keep])
+        pscores.append(s[keep])
+    props = np.concatenate(props)
+    pscores = np.concatenate(pscores)
+    order = np.argsort(-pscores, kind="stable")[:cfg.MODEL.RPN.POST_NMS_TOPK_TEST]
+    return logits_levels, props[order], pscores[order]
+
+
+def twin_box_stage(state, feats, proposals, cfg):
+    fpn_ch = cfg.MODEL.FPN.OUT_CHANNELS
+    res = cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION
+    sampling = cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO
+    aligned = cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE == "ROIAlignV2"
+    feats_np = {f: feats[f][0].permute(1, 2, 0).detach().numpy()
+                for f in ("p2", "p3", "p4", "p5")}
+    lv = np.clip(np.floor(4 + np.log2(
+        np.sqrt(np.maximum((proposals[:, 2] - proposals[:, 0])
+                           * (proposals[:, 3] - proposals[:, 1]), 0)) / 224 + 1e-8)),
+        2, 5).astype(int)
+    pooled = np.zeros((len(proposals), res, res, fpn_ch), np.float64)
+    for lev in (2, 3, 4, 5):
+        sel = np.nonzero(lv == lev)[0]
+        if len(sel):
+            pooled[sel] = roi_align_np(feats_np[f"p{lev}"], proposals[sel],
+                                       1.0 / (2 ** lev), (res, res), sampling,
+                                       aligned)
+    xb = t(pooled.astype(np.float32)).permute(0, 3, 1, 2).reshape(len(proposals), -1)
+    for kfc in range(1, cfg.MODEL.ROI_BOX_HEAD.NUM_FC + 1):
+        xb = F.relu(F.linear(xb, t(state[f"roi_heads.box_head.fc{kfc}.weight"]),
+                             t(state[f"roi_heads.box_head.fc{kfc}.bias"])))
+    cls = F.linear(xb, t(state["roi_heads.box_predictor.cls_score.weight"]),
+                   t(state["roi_heads.box_predictor.cls_score.bias"]))
+    dlt = F.linear(xb, t(state["roi_heads.box_predictor.bbox_pred.weight"]),
+                   t(state["roi_heads.box_predictor.bbox_pred.bias"]))
+    probs = F.softmax(cls, -1).detach().numpy()[:, 0]
+    det_boxes = decode_np(dlt.detach().numpy(), proposals,
+                          tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS))
+    sel = np.nonzero(probs > cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST)[0]
+    keep = sel[nms_np(det_boxes[sel], probs[sel],
+                      cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST)]
+    keep = keep[np.argsort(-probs[keep], kind="stable")]
+    keep = keep[:cfg.TEST.DETECTIONS_PER_IMAGE]
+    return det_boxes[keep], probs[keep]
+
+
+def twin_densepose(state, feats, det_boxes, cfg):
+    """Decoder -> 28x28 pooler -> 8x 512-ch head -> chart predictor."""
+    res = cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION
+    sampling = cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_SAMPLING_RATIO
+    aligned = cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_TYPE == "ROIAlignV2"
+    n_convs = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
+    dstate = "roi_heads.decoder"
+    dec = None
+    for f, length, has_up in [("p2", 1, False), ("p3", 1, True),
+                              ("p4", 2, True), ("p5", 3, True)]:
+        y = feats[f]
+        for kk in range(length):
+            idx2 = kk * 2 if has_up else kk
+            y = conv_b(state, f"{dstate}.{f}.{idx2}", y, 1, 1, relu=True)
+            if has_up:
+                y = F.interpolate(y, scale_factor=2, mode="bilinear",
+                                  align_corners=False)
+        dec = y if dec is None else dec + y
+    dec = conv_b(state, f"{dstate}.predictor", dec)
+    dec_np = dec[0].permute(1, 2, 0).detach().numpy()
+
+    dp_pool = roi_align_np(dec_np, det_boxes, 0.25, (res, res), sampling,
+                           aligned).astype(np.float32)
+    xdp = t(dp_pool).permute(0, 3, 1, 2)
+    for i in range(1, n_convs + 1):
+        xdp = F.relu(conv_b(state, f"roi_heads.densepose_head.body_conv_fcn{i}",
+                            xdp, 1, 1))
+
+    out = {}
+    for key, name in [("coarse_segm", "ann_index_lowres"),
+                      ("fine_segm", "index_uv_lowres"),
+                      ("u", "u_lowres"), ("v", "v_lowres")]:
+        w = t(state[f"roi_heads.densepose_predictor.{name}.weight"])
+        b = t(state[f"roi_heads.densepose_predictor.{name}.bias"])
+        y = F.conv_transpose2d(xdp, w, b, stride=2, padding=1)
+        out[key] = F.interpolate(y, scale_factor=2, mode="bilinear",
+                                 align_corners=False).detach().numpy()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# shared computation (built once per module)
+# ---------------------------------------------------------------------------
+
+_CACHE = {}
+
+
+def setup():
+    if _CACHE:
+        return _CACHE
+    cfg = real_cfg()
+    model = build_model(cfg)
+    spec = model.spec()
+    state = make_state(spec)
+    # exact-parity BN mode (unfolded): this test isolates accumulation
+    # drift at real widths; the BN fold has its own parity tests
+    params = {k: jnp.asarray(v)
+              for k, v in torch_state_to_jax(state, spec, fold_bn=False).items()}
+    image = (RNG.rand(H0, W0, 3) * 255).astype(np.uint8)
+
+    # ours, stage-tapped (fp32 CPU)
+    from densepose_tpu.models.fpn import fpn_forward
+    from densepose_tpu.models.rpn import rpn_forward
+    from densepose_tpu.models.resnet import resnet_forward
+    from densepose_tpu.models.roi_heads import (box_stage_forward,
+                                                densepose_stage_forward)
+
+    x, (h1, w1), (hp, wp) = model.preprocess(jnp.asarray(image), (H0, W0))
+    stages = jax.jit(lambda pp, xx: resnet_forward(
+        pp, xx, cfg, out_features=("res2", "res3", "res4", "res5")))(params, x)
+    feats = jax.jit(lambda pp, xx: fpn_forward(pp, xx, cfg))(params, x)
+    proposals, obj, pvalid = jax.jit(
+        lambda pp, ff: rpn_forward(pp, ff, (hp, wp), cfg))(params, feats)
+    det = jax.jit(lambda pp, ff, pr, pv: box_stage_forward(pp, ff, pr, pv, cfg))(
+        params, feats, proposals, pvalid)
+    boxes_net, scores, classes, dvalid = det
+    dp = jax.jit(lambda pp, ff, bb: densepose_stage_forward(pp, ff, bb, cfg))(
+        params, feats, boxes_net)
+
+    # twin, stage-tapped (torch fp32)
+    xt, (th1, tw1), (thp, twp) = twin_preprocess(image, cfg)
+    assert (th1, tw1) == (h1, w1) and (thp, twp) == (hp, wp)
+    # Stage comparisons feed the twin OUR preprocessed tensor: XLA's and
+    # torch's float resizes disagree in the last ulp, which flips the
+    # uint8 quantization by 1 LSB on a handful of pixels — a preprocess
+    # property (asserted separately below), not backbone drift.
+    x_shared = t(np.asarray(x, np.float32)).permute(2, 0, 1)[None]
+    tstages = twin_backbone_stages(state, x_shared, cfg)
+    tlogits, tprops, tpscores = twin_rpn(state, tstages, cfg, hp, wp)
+    tdet_boxes, tdet_scores = twin_box_stage(state, tstages, tprops, cfg)
+    tdp = twin_densepose(state, tstages, tdet_boxes, cfg)
+
+    _CACHE.update(dict(
+        cfg=cfg, model=model, params=params, state=state, image=image,
+        x=x, stages=stages, feats=feats,
+        proposals=proposals, obj=obj, pvalid=pvalid,
+        boxes_net=boxes_net, scores=scores, dvalid=dvalid, dp=dp,
+        xt=xt, tstages=tstages, tlogits=tlogits, tprops=tprops,
+        tpscores=tpscores, tdet_boxes=tdet_boxes, tdet_scores=tdet_scores,
+        tdp=tdp))
+    return _CACHE
+
+
+def _nchw(a):
+    a = np.asarray(a)
+    return a[None].transpose(0, 3, 1, 2) if a.ndim == 3 else a.transpose(0, 3, 1, 2)
+
+
+def _assert_stage(got, want_t, name, rel=2e-3):
+    """Normalized per-stage check: max abs error <= rel * std(activation) —
+    scale-aware so 2048-ch stages with large magnitudes are judged fairly."""
+    want = want_t.detach().numpy() if hasattr(want_t, "detach") else np.asarray(want_t)
+    got = _nchw(got)
+    assert got.shape == want.shape, (name, got.shape, want.shape)
+    scale = max(float(np.std(want)), 1e-6)
+    err = float(np.max(np.abs(got - want))) / scale
+    assert err < rel, f"{name}: normalized max err {err:.2e} (scale {scale:.3g})"
+
+
+def test_preprocess_matches_spec_within_one_lsb():
+    """Ours vs the torch float-resize+round spec: XLA and torch disagree in
+    the last ulp of the bilinear sum, so exact-half rounding can flip the
+    uint8 quantization by 1 on isolated pixels. Bound: <=1 LSB (pre-
+    normalization), <2% of pixels."""
+    c = setup()
+    got = _nchw(c["x"])
+    want = c["xt"].detach().numpy()
+    std = np.asarray(c["cfg"].MODEL.PIXEL_STD, np.float32).reshape(1, 3, 1, 1)
+    diff = np.abs(got - want) * std  # back to LSB units
+    assert float(diff.max()) <= 1.0 + 1e-4, float(diff.max())
+    frac = float((diff > 0.5).mean())
+    assert frac < 0.02, frac
+
+
+def test_torch_uint8_resize_divergence_is_one_lsb():
+    """Document the deliberate divergence: torch's CPU uint8 bilinear kernel
+    (what the reference executes on CPU) is a fixed-point approximation of
+    the float resize + round spec this framework implements. Bound it: at
+    most 1 LSB per pixel. (The kernel is platform-dependent in torch itself,
+    so the spec — not the kernel — is the portable parity target.)"""
+    c = setup()
+    img = t(c["image"]).permute(2, 0, 1)[None]
+    k = min(400 / H0, 667 / W0)
+    a = F.interpolate(img, scale_factor=k, mode="bilinear",
+                      align_corners=False).float()
+    b = torch.round(F.interpolate(img.float(), scale_factor=k,
+                                  mode="bilinear", align_corners=False))
+    diff = (a - b).abs()
+    assert float(diff.max()) <= 1.0
+    frac = float((diff > 0).float().mean())
+    assert frac < 0.5, frac
+
+
+def test_backbone_stages_real_width():
+    c = setup()
+    for name in ("res2", "res3", "res4", "res5"):
+        _assert_stage(c["stages"][name], c["tstages"][name], name)
+
+
+def test_fpn_levels_real_width():
+    c = setup()
+    for name in ("p2", "p3", "p4", "p5", "p6"):
+        _assert_stage(c["feats"][name], c["tstages"][name], name)
+
+
+def test_rpn_proposals_real_scale():
+    c = setup()
+    n = int(np.asarray(c["pvalid"]).sum())
+    tprops, tpscores = c["tprops"], c["tpscores"]
+    assert n == len(tpscores), (n, len(tpscores))
+    got_scores = np.asarray(c["obj"])[:n]
+    np.testing.assert_allclose(got_scores, tpscores, atol=1e-4, rtol=1e-4)
+    got_boxes = np.asarray(c["proposals"])[:n]
+    # Degenerate (zero-width/height, clip-collapsed) proposals carry
+    # saturated-equal scores; tie order between lax.top_k and the twin's
+    # stable sort may pick different degenerate corners. Compare boxes only
+    # where at least one side is non-degenerate; counts must agree.
+    def degen(b):
+        return (b[:, 2] - b[:, 0] <= 0) | (b[:, 3] - b[:, 1] <= 0)
+    dg, dt = degen(got_boxes), degen(tprops)
+    assert dg.sum() == dt.sum(), (int(dg.sum()), int(dt.sum()))
+    keep = ~(dg & dt)
+    np.testing.assert_allclose(got_boxes[keep], tprops[keep],
+                               atol=0.05, rtol=1e-4)
+
+
+def test_detections_real_scale():
+    c = setup()
+    n = int(np.asarray(c["dvalid"]).sum())
+    assert n == len(c["tdet_scores"]), (n, len(c["tdet_scores"]))
+    np.testing.assert_allclose(np.asarray(c["scores"])[:n], c["tdet_scores"],
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(c["boxes_net"])[:n], c["tdet_boxes"],
+                               atol=0.1, rtol=1e-3)
+
+
+def test_siuv_maps_real_width():
+    c = setup()
+    n = int(np.asarray(c["dvalid"]).sum())
+    for key in ("coarse_segm", "fine_segm", "u", "v"):
+        got = _nchw(np.asarray(c["dp"][key])[:n])
+        want = c["tdp"][key][:n]
+        scale = max(float(np.std(want)), 1e-6)
+        err = float(np.max(np.abs(got - want))) / scale
+        assert err < 5e-3, f"{key}: normalized max err {err:.2e}"
+
+
+def test_bf16_drift_envelope():
+    """Measure the serving dtype's end-to-end drift vs fp32 on the same
+    frame and bound it. With random weights many detection scores sit near
+    the 0.3 threshold, so the detection COUNT may flicker under bf16 — the
+    envelope is therefore measured on (a) the top-scoring detections both
+    dtypes agree on and (b) the DensePose maps for the SAME fp32 boxes.
+    Prints the measured drift for the record."""
+    c = setup()
+    model, params, image = c["model"], c["params"], c["image"]
+    bf16 = {k: (v.astype(jnp.bfloat16)
+                if v.dtype == jnp.float32 else v) for k, v in params.items()}
+    out16 = jax.jit(lambda p, im: model.forward(
+        p, im, compute_dtype=jnp.bfloat16))(bf16, jnp.asarray(image))
+    out32 = jax.jit(model.forward)(params, jnp.asarray(image))
+
+    n32 = int(out32["num_instances"])
+    n16 = int(out16["num_instances"])
+    assert abs(n16 - n32) <= max(3, n32 // 4), (n16, n32)
+    k = min(n16, n32, 10)
+    b32 = np.asarray(out32["pred_boxes"])[:k]
+    b16 = np.asarray(out16["pred_boxes"])[:k]
+    s32 = np.asarray(out32["scores"])[:k]
+    s16 = np.asarray(out16["scores"])[:k]
+    score_drift = float(np.max(np.abs(np.sort(s16) - np.sort(s32)))) if k else 0.0
+    # nearest-box match (score order may swap under bf16)
+    box_drift = 0.0
+    for i in range(k):
+        d = np.abs(b16 - b32[i]).max(axis=1).min()
+        box_drift = max(box_drift, float(d))
+
+    # SIUV drift on IDENTICAL boxes (isolates dtype error from box chaos)
+    _, feats32, boxes_net = jax.jit(model.forward_stage1)(
+        params, jnp.asarray(image))
+    from functools import partial
+    _, feats16, _ = jax.jit(partial(
+        model.forward_stage1, compute_dtype=jnp.bfloat16))(
+        bf16, jnp.asarray(image))
+    dp32 = jax.jit(model.forward_densepose)(params, feats32, boxes_net[:8])
+    dp16 = jax.jit(model.forward_densepose)(bf16, feats16,
+                                            boxes_net[:8].astype(jnp.float32))
+    u32 = np.asarray(dp32["pred_densepose_u"], np.float32)
+    u16 = np.asarray(dp16["pred_densepose_u"], np.float32)
+    uv_drift = float(np.max(np.abs(u16 - u32)))
+    uv_scale = float(np.std(u32)) + 1e-9
+    print(f"bf16 drift envelope: matched-box {box_drift:.3f}px, "
+          f"scores {score_drift:.4f}, u-logits {uv_drift:.4f} "
+          f"(= {uv_drift / uv_scale:.3f} sigma), dets {n16} vs {n32}")
+    assert score_drift < 0.05
+    assert box_drift < 6.0
+    assert uv_drift / uv_scale < 0.5
