@@ -91,6 +91,11 @@ def main():
     frames = [jax.device_put(f) for f in host_frames]
     jax.block_until_ready(frames)
 
+    if os.environ.get("BENCH_INT8"):
+        # static-scale calibration (one fp pass over held-out frames) before
+        # any int8 graph compiles — the serving flow
+        pred.calibrate_int8(aux_frames[:2])
+
     # warmup: compile forward + checksum, then one true sync
     _ = np.asarray(step(pred.params, jnp.asarray(aux_frames[0])))
 

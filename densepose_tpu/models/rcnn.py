@@ -171,6 +171,16 @@ class GeneralizedRCNN:
         dp = densepose_stage_forward(params, features, boxes_net, self.cfg)
         return {f"pred_densepose_{k}": v for k, v in dp.items()}
 
+    def forward_int8_calibration(self, params: Dict, image_u8: jnp.ndarray,
+                                 compute_dtype=jnp.float32) -> jnp.ndarray:
+        """Full fp pass collecting the DensePose stacked-conv input maxima
+        (n_stacked,) — the data for the static int8 activation scales
+        (predictor.calibrate_int8)."""
+        from .roi_heads import densepose_stacked_calibration
+        _, features, boxes_net = self.forward_stage1(
+            params, image_u8, compute_dtype)
+        return densepose_stacked_calibration(params, features, boxes_net, self.cfg)
+
     def forward_densepose_switched(self, params: Dict, features: Dict,
                                    boxes_net: jnp.ndarray,
                                    num_valid: jnp.ndarray) -> Dict[str, jnp.ndarray]:

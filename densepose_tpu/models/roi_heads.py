@@ -301,6 +301,8 @@ def decoder_forward(
     in_features: List[str] = list(cfg.MODEL.ROI_HEADS.IN_FEATURES)
     common_stride = cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_COMMON_STRIDE
     strides = feature_strides(cfg)
+    import os
+    up2x_fast = bool(os.environ.get("DENSEPOSE_TPU_DECODER_UPSAMPLE2X"))
     acc = None
     for f in in_features:
         stride = strides[f]
@@ -312,8 +314,14 @@ def decoder_forward(
             x = jax.nn.relu(conv2d(x, p[f"{prefix}.{f}.{idx}.weight"],
                                    p.get(f"{prefix}.{f}.{idx}.bias"), padding=1))
             if has_up:
-                h, w = x.shape[-3] * 2, x.shape[-2] * 2
-                x = resize_bilinear(x, (h, w), scale=(2.0, 2.0))
+                if up2x_fast:
+                    # A/B knob: shift-add scale-2 upsample (fp32-accumulated;
+                    # reassociation-level difference vs the lerp resize)
+                    from ..ops.resize import upsample2x_bilinear
+                    x = upsample2x_bilinear(x)
+                else:
+                    h, w = x.shape[-3] * 2, x.shape[-2] * 2
+                    x = resize_bilinear(x, (h, w), scale=(2.0, 2.0))
         acc = x if acc is None else acc + x
     return conv2d(acc, p[f"{prefix}.predictor.weight"], p[f"{prefix}.predictor.bias"])
 
@@ -322,12 +330,60 @@ def decoder_forward(
 # densepose heads
 # ---------------------------------------------------------------------------
 
+def _int8_calibrated(p: Dict, prefix: str) -> bool:
+    """Static int8 scales present? (predictor.calibrate_int8 adds them)."""
+    return f"{prefix}.body_conv_fcn1.qweight" in p
+
+
+def _stacked_int8_chain(p: Dict, x: jnp.ndarray, cfg, prefix: str,
+                        norm: str = "") -> jnp.ndarray:
+    """The stacked convs as a statically-calibrated s8 chain
+    (ops/conv.py::conv2d_int8_chain): activations stay s8/s32 between
+    layers, one requant multiply per layer, no dynamic scale reductions.
+    With GN (DeepLab) each link dequantizes for the norm and requantizes
+    with the next layer's static scale."""
+    from ..ops.conv import conv2d_int8_chain
+    n = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
+    pad = cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_KERNEL // 2
+    dtype = x.dtype
+    names = [f"{prefix}.body_conv_fcn{i + 1}" for i in range(n)]
+    scales = [p[f"{nm}.in_scale"] for nm in names]
+
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scales[0]), -127, 127
+                 ).astype(jnp.int8)
+    for i, nm in enumerate(names):
+        last = i == n - 1
+        if norm == "GN":
+            y = conv2d_int8_chain(q, scales[i], p[f"{nm}.qweight"],
+                                  p[f"{nm}.wscale"], p.get(f"{nm}.bias"),
+                                  padding=pad, out_scale=None, relu=False)
+            y = group_norm(y, p[f"{nm}.norm.weight"], p[f"{nm}.norm.bias"], 32)
+            y = jax.nn.relu(y)
+            if last:
+                return y.astype(dtype)
+            q = jnp.clip(jnp.round(y / scales[i + 1]), -127, 127
+                         ).astype(jnp.int8)
+        else:
+            out = conv2d_int8_chain(q, scales[i], p[f"{nm}.qweight"],
+                                    p[f"{nm}.wscale"], p.get(f"{nm}.bias"),
+                                    padding=pad,
+                                    out_scale=None if last else scales[i + 1])
+            if last:
+                return out.astype(dtype)
+            q = out
+    raise AssertionError("unreachable")
+
+
 def _v1convx_forward(p: Dict, x: jnp.ndarray, cfg, prefix: str) -> jnp.ndarray:
     n = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
     pad = cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_KERNEL // 2
     if getattr(cfg.TPU, "INT8_HEAD", False):
         # quantized serving mode: the stacked convs are ~80% of the
-        # per-detection FLOPs; s8 runs at 2x the bf16 MXU rate
+        # per-detection FLOPs; s8 runs at 2x the bf16 MXU rate. With
+        # calibrated static scales the whole chain stays in the integer
+        # domain; before calibration, per-layer dynamic quantization.
+        if _int8_calibrated(p, prefix):
+            return _stacked_int8_chain(p, x, cfg, prefix)
         from ..ops.conv import conv2d_int8
         for i in range(n):
             x = jax.nn.relu(conv2d_int8(
@@ -347,12 +403,8 @@ def _aspp_branch(p: Dict, x, prefix: str, conv_idx: int, gn_idx: int,
     return jax.nn.relu(y)
 
 
-def _deeplab_forward(p: Dict, x: jnp.ndarray, cfg, prefix: str) -> jnp.ndarray:
-    """ASPP (rates 6, 12, 56 — deeplab.py:34) + stacked GN convs."""
-    n = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
-    pad = cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_KERNEL // 2
-    norm = cfg.MODEL.ROI_DENSEPOSE_HEAD.DEEPLAB.NORM
-
+def _deeplab_aspp(p: Dict, x: jnp.ndarray, cfg, prefix: str) -> jnp.ndarray:
+    """ASPP (rates 6, 12, 56 — deeplab.py:34) through its 1x1 projection."""
     a = f"{prefix}.ASPP.convs"
     branches = [
         _aspp_branch(p, x, f"{a}.0", 0, 1),
@@ -369,9 +421,20 @@ def _deeplab_forward(p: Dict, x: jnp.ndarray, cfg, prefix: str) -> jnp.ndarray:
     branches.append(g)
 
     y = jnp.concatenate(branches, axis=-1)
-    y = jax.nn.relu(conv2d(y, p[f"{prefix}.ASPP.project.0.weight"]))
+    return jax.nn.relu(conv2d(y, p[f"{prefix}.ASPP.project.0.weight"]))
+
+
+def _deeplab_forward(p: Dict, x: jnp.ndarray, cfg, prefix: str) -> jnp.ndarray:
+    """ASPP + stacked GN convs."""
+    n = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
+    pad = cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_KERNEL // 2
+    norm = cfg.MODEL.ROI_DENSEPOSE_HEAD.DEEPLAB.NORM
+
+    y = _deeplab_aspp(p, x, cfg, prefix)
 
     if getattr(cfg.TPU, "INT8_HEAD", False):
+        if _int8_calibrated(p, prefix):
+            return _stacked_int8_chain(p, y, cfg, prefix, norm=norm)
         from ..ops.conv import conv2d_int8 as _conv
     else:
         _conv = conv2d
@@ -434,6 +497,18 @@ def densepose_predictor_forward(
         # for reference.)
         y = conv_transpose2d(x, w_cat, b_cat, stride=2, padding=pad,
                              kernel_size=k)
+        import os
+        if up == 2.0 and os.environ.get("DENSEPOSE_TPU_SPLIT_BEFORE_UPSAMPLE"):
+            # A/B knob: slice the four heads out at the deconv's 56^2
+            # resolution and upsample each separately — the slices then
+            # read/write 4x less HBM than slicing the 112^2 map
+            from ..ops.resize import upsample2x_bilinear
+            outs, s = [], 0
+            for n in names:
+                c = p[f"{prefix}.{n}.bias"].shape[0]
+                outs.append(upsample2x_bilinear(y[..., s:s + c]))
+                s += c
+            return outs
         if up == 2.0:
             # shift-add scale-2 upsample: ~1.7x over the gather resize on
             # this shape (ops/resize.py::upsample2x_bilinear)
@@ -484,15 +559,14 @@ def densepose_predictor_forward(
     return out
 
 
-def densepose_stage_forward(
+def _densepose_pooled(
     p: Dict,
     features: Dict[str, jnp.ndarray],
     boxes: jnp.ndarray,
     cfg,
     prefix: str = "roi_heads",
-) -> Dict[str, jnp.ndarray]:
-    """Decoder (optional) -> ROIAlign -> head -> predictor, on given boxes
-    (densepose roi_head.py:126-158)."""
+) -> jnp.ndarray:
+    """Decoder (optional) -> ROIAlign on the given boxes: the head's input."""
     in_features: List[str] = list(cfg.MODEL.ROI_HEADS.IN_FEATURES)
     res = cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION
     sampling = cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_SAMPLING_RATIO
@@ -503,18 +577,59 @@ def densepose_stage_forward(
     if use_decoder:
         sem = decoder_forward(p, features, cfg, f"{prefix}.decoder")
         scale = 1.0 / strides[in_features[0]]
-        pooled = roi_align_single(sem, boxes, scale, (res, res), sampling, aligned)
-    else:
-        feats = [features[f] for f in in_features]
-        scales = [1.0 / strides[f] for f in in_features]
-        min_lvl = int(-math.log2(scales[0]))
-        max_lvl = int(-math.log2(scales[-1]))
-        levels = assign_boxes_to_levels(boxes, min_lvl, max_lvl)
-        pooled = roi_align_multilevel(feats, boxes, levels, scales,
-                                      (res, res), sampling, aligned)
+        return roi_align_single(sem, boxes, scale, (res, res), sampling, aligned)
+    feats = [features[f] for f in in_features]
+    scales = [1.0 / strides[f] for f in in_features]
+    min_lvl = int(-math.log2(scales[0]))
+    max_lvl = int(-math.log2(scales[-1]))
+    levels = assign_boxes_to_levels(boxes, min_lvl, max_lvl)
+    return roi_align_multilevel(feats, boxes, levels, scales,
+                                (res, res), sampling, aligned)
 
+
+def densepose_stage_forward(
+    p: Dict,
+    features: Dict[str, jnp.ndarray],
+    boxes: jnp.ndarray,
+    cfg,
+    prefix: str = "roi_heads",
+) -> Dict[str, jnp.ndarray]:
+    """Decoder (optional) -> ROIAlign -> head -> predictor, on given boxes
+    (densepose roi_head.py:126-158)."""
+    pooled = _densepose_pooled(p, features, boxes, cfg, prefix)
     head_out = densepose_head_forward(p, pooled, cfg, f"{prefix}.densepose_head")
     return densepose_predictor_forward(p, head_out, cfg, f"{prefix}.densepose_predictor")
+
+
+def densepose_stacked_calibration(
+    p: Dict,
+    features: Dict[str, jnp.ndarray],
+    boxes: jnp.ndarray,
+    cfg,
+    prefix: str = "roi_heads",
+) -> jnp.ndarray:
+    """fp walk of decoder -> pooler -> stacked head convs, returning the
+    per-layer INPUT max-abs values (n_stacked,) — the data that sets the
+    static int8 activation scales (predictor.calibrate_int8)."""
+    hp = f"{prefix}.densepose_head"
+    name = cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME
+    n = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
+    pad = cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_KERNEL // 2
+    x = _densepose_pooled(p, features, boxes, cfg, prefix)
+    norm = ""
+    if name == "DensePoseDeepLabHead":
+        norm = cfg.MODEL.ROI_DENSEPOSE_HEAD.DEEPLAB.NORM
+        # ASPP stays fp in int8 mode; chain input is its projection output
+        x = _deeplab_aspp(p, x, cfg, hp)
+    maxima = []
+    for i in range(n):
+        nm = f"{hp}.body_conv_fcn{i + 1}"
+        maxima.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        x = conv2d(x, p[f"{nm}.weight"], p.get(f"{nm}.bias"), padding=pad)
+        if norm == "GN":
+            x = group_norm(x, p[f"{nm}.norm.weight"], p[f"{nm}.norm.bias"], 32)
+        x = jax.nn.relu(x)
+    return jnp.stack(maxima)
 
 
 def roi_heads_forward(

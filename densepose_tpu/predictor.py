@@ -93,6 +93,9 @@ class DensePosePredictor:
         self.bucketed = bool(cfg.TPU.BUCKETED_DENSEPOSE) and cfg.MODEL.DENSEPOSE_ON
         d = cfg.TEST.DETECTIONS_PER_IMAGE
         self.buckets = sorted({b for b in (8, 16, 32, 64) if b < d} | {d})
+        self._int8_needed = (bool(getattr(cfg.TPU, "INT8_HEAD", False))
+                             and cfg.MODEL.DENSEPOSE_ON)
+        self._int8_ready = False
 
     def _cast_param(self, name: str, v: np.ndarray):
         # Weights participating in MXU work go to the compute dtype; the fp32
@@ -111,6 +114,46 @@ class DensePosePredictor:
             self._jit_cache[shape_hw] = fn
         return fn
 
+    def calibrate_int8(self, frames) -> None:
+        """Set the static int8 activation scales for the DensePose head from
+        representative frames (TensorRT-style post-training calibration):
+        one fp pass per frame records each stacked conv's input max-abs;
+        scales and per-channel-quantized weights then live in ``params`` and
+        the head compiles as an s8 chain with s32 bias+ReLU and a single
+        requant multiply per layer (ops/conv.py::conv2d_int8_chain).
+
+        Auto-runs on the first frame when TPU.INT8_HEAD is set and this was
+        never called; call explicitly with a calibration set for better
+        scale coverage."""
+        assert self._int8_needed, "TPU.INT8_HEAD is not enabled"
+        from functools import partial
+
+        from .ops.conv import quantize_weight_int8
+
+        fn = jax.jit(partial(self.model.forward_int8_calibration,
+                             compute_dtype=self.compute_dtype))
+        mx = None
+        for f in frames:
+            m = np.asarray(fn(self.params, jnp.asarray(np.asarray(f))),
+                           dtype=np.float32)
+            mx = m if mx is None else np.maximum(mx, m)
+        params = dict(self.params)
+        n = self.cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
+        assert len(mx) == n, (len(mx), n)
+        for i in range(n):
+            nm = f"roi_heads.densepose_head.body_conv_fcn{i + 1}"
+            qw, sw = quantize_weight_int8(params[f"{nm}.weight"])
+            params[f"{nm}.qweight"] = qw
+            params[f"{nm}.wscale"] = sw
+            params[f"{nm}.in_scale"] = jnp.asarray(
+                max(float(mx[i]) / 127.0, 1e-8), jnp.float32)
+        self.params = jax.device_put(params)
+        # the param pytree changed shape: every cached jit must re-trace
+        self._jit_cache.clear()
+        self._stage1_cache.clear()
+        self._stage2_cache.clear()
+        self._int8_ready = True
+
     def __call__(self, image_bgr_u8: np.ndarray) -> Dict[str, jnp.ndarray]:
         """image: (H, W, 3) uint8 BGR (the run.py contract). Returns device
         arrays (fixed-size slots + num_instances).
@@ -120,6 +163,8 @@ class DensePosePredictor:
         bucket covering it — typical frames skip ~90% of the worst-case
         DensePose FLOPs at the cost of one sync."""
         assert image_bgr_u8.ndim == 3 and image_bgr_u8.shape[2] == 3, image_bgr_u8.shape
+        if self._int8_needed and not self._int8_ready:
+            self.calibrate_int8([image_bgr_u8])
         h, w = image_bgr_u8.shape[:2]
         if not self.bucketed:
             fn = self._get_fn((h, w))
@@ -157,6 +202,8 @@ class DensePosePredictor:
         dispatch overhead. The reference silently truncates any batch to one
         image (rcnn.py:161) — this is a new capability."""
         assert images_bgr_u8.ndim == 4 and images_bgr_u8.shape[-1] == 3
+        if self._int8_needed and not self._int8_ready:
+            self.calibrate_int8([images_bgr_u8[0]])
         b, h, w = images_bgr_u8.shape[:3]
         key = ("batch", b, h, w)
         fn = self._jit_cache.get(key)

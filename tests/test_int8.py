@@ -1,0 +1,122 @@
+"""int8 serving mode: weight quantization, the statically-calibrated
+s8 chain (s32 bias+ReLU, fused requant), calibration plumbing, and its
+accuracy envelope vs the fp reference path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from densepose_tpu.ops.conv import (conv2d, conv2d_int8, conv2d_int8_chain,
+                                    quantize_weight_int8)
+
+RNG = np.random.RandomState(11)
+
+
+def _rel_err(got, want):
+    return float(np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9))
+
+
+def test_quantize_weight_roundtrip():
+    w = RNG.randn(3, 3, 16, 32).astype(np.float32)
+    qw, sw = quantize_weight_int8(jnp.asarray(w))
+    assert qw.dtype == jnp.int8 and sw.shape == (32,)
+    deq = np.asarray(qw, np.float32) * np.asarray(sw)
+    assert _rel_err(deq, w) < 1 / 127 + 1e-3
+    # per-channel: each channel's max hits 127 exactly
+    assert (np.abs(np.asarray(qw)).reshape(-1, 32).max(axis=0) == 127).all()
+
+
+def test_int8_chain_single_layer_matches_fp():
+    x = np.abs(RNG.randn(2, 8, 8, 16)).astype(np.float32)
+    w = (RNG.randn(3, 3, 16, 32) * 0.1).astype(np.float32)
+    b = (RNG.randn(32) * 0.1).astype(np.float32)
+    want = np.asarray(jax.nn.relu(conv2d(jnp.asarray(x), jnp.asarray(w),
+                                         jnp.asarray(b), padding=1)))
+    qw, sw = quantize_weight_int8(jnp.asarray(w))
+    sx = float(np.abs(x).max() / 127.0)
+    qx = jnp.clip(jnp.round(jnp.asarray(x) / sx), -127, 127).astype(jnp.int8)
+    got = np.asarray(conv2d_int8_chain(qx, sx, qw, sw, jnp.asarray(b),
+                                       padding=1, out_scale=None))
+    assert _rel_err(got, want) < 0.02
+
+
+def test_int8_chain_stacked_matches_fp_and_beats_nothing_silently():
+    """3-layer chain with 'calibrated' (true fp maxima) scales vs the fp
+    stack: bounded quantization error, requant chain included."""
+    n, c = 3, 32
+    x = np.abs(RNG.randn(2, 10, 10, c)).astype(np.float32)
+    ws = [(RNG.randn(3, 3, c, c) * (0.8 / np.sqrt(9 * c))).astype(np.float32)
+          for _ in range(n)]
+    bs = [(RNG.randn(c) * 0.05).astype(np.float32) for _ in range(n)]
+
+    # fp reference + true per-layer input maxima
+    maxima = []
+    y = jnp.asarray(x)
+    for w, b in zip(ws, bs):
+        maxima.append(float(jnp.max(jnp.abs(y))))
+        y = jax.nn.relu(conv2d(y, jnp.asarray(w), jnp.asarray(b), padding=1))
+    want = np.asarray(y)
+
+    scales = [m / 127.0 for m in maxima]
+    q = jnp.clip(jnp.round(jnp.asarray(x) / scales[0]), -127, 127).astype(jnp.int8)
+    for i, (w, b) in enumerate(zip(ws, bs)):
+        qw, sw = quantize_weight_int8(jnp.asarray(w))
+        last = i == n - 1
+        q = conv2d_int8_chain(q, scales[i], qw, sw, jnp.asarray(b), padding=1,
+                              out_scale=None if last else scales[i + 1])
+    got = np.asarray(q)
+    err = _rel_err(got, want)
+    assert err < 0.06, err
+    # sanity: the dynamic per-layer path lands in the same neighborhood
+    y2 = jnp.asarray(x)
+    for w, b in zip(ws, bs):
+        y2 = jax.nn.relu(conv2d_int8(y2, jnp.asarray(w), jnp.asarray(b), padding=1))
+    assert _rel_err(np.asarray(y2), want) < 0.06
+
+
+def test_predictor_int8_autocalibration_and_accuracy():
+    """TPU.INT8_HEAD end to end on a tiny model: first __call__ triggers
+    calibration (qweight/in_scale params appear), the chain output stays
+    within the documented envelope of the fp predictor, detections are
+    unchanged (the box stage is fp)."""
+    from densepose_tpu import model_zoo
+    from densepose_tpu.predictor import DensePosePredictor
+
+    TINY = [
+        "INPUT.MIN_SIZE_TEST", "64",
+        "INPUT.MAX_SIZE_TEST", "128",
+        "MODEL.RPN.PRE_NMS_TOPK_TEST", "100",
+        "MODEL.RPN.POST_NMS_TOPK_TEST", "40",
+        "TEST.DETECTIONS_PER_IMAGE", "3",
+    ]
+    img = (np.random.RandomState(3).rand(48, 64, 3) * 255).astype(np.uint8)
+
+    cfg = model_zoo.get_config("densepose_rcnn_R_50_FPN_s1x").clone()
+    cfg.defrost()
+    cfg.merge_from_list(TINY)
+    cfg.freeze()
+    fp = DensePosePredictor(cfg, seed=0)
+    want = fp.predict_numpy(img)
+
+    cfg8 = cfg.clone()
+    cfg8.defrost()
+    cfg8.merge_from_list(["TPU.INT8_HEAD", "True"])
+    cfg8.freeze()
+    pred = DensePosePredictor(cfg8, seed=0)
+    assert not pred._int8_ready
+    got = pred.predict_numpy(img)
+    assert pred._int8_ready
+    assert "roi_heads.densepose_head.body_conv_fcn1.qweight" in pred.params
+    assert "roi_heads.densepose_head.body_conv_fcn1.in_scale" in pred.params
+
+    # detections identical (box stage untouched by the int8 head)
+    assert got["num_instances"] == want["num_instances"]
+    np.testing.assert_allclose(got["pred_boxes"], want["pred_boxes"], atol=1e-3)
+    # SIUV maps: documented int8 envelope, not exact
+    u8 = got["pred_densepose_u"].astype(np.float32)
+    u32 = want["pred_densepose_u"].astype(np.float32)
+    assert u8.shape == u32.shape
+    denom = np.abs(u32).max() + 1e-9
+    assert np.max(np.abs(u8 - u32)) / denom < 0.15
