@@ -119,6 +119,14 @@ def roi_align_multilevel(
     (M, out_h, out_w, C) in the feats dtype.
     """
     if _default_use_matmul(sampling_ratio):
+        import os
+        if os.environ.get("DENSEPOSE_TPU_SPARSE_POOLER"):
+            # Pallas skip-flag pooler (experimental routing knob; see
+            # ops/pallas/roi_align_kernel.py::roi_align_multilevel_sparse)
+            from .pallas.roi_align_kernel import roi_align_multilevel_sparse
+            return roi_align_multilevel_sparse(
+                feats, boxes, levels, scales, output_size, sampling_ratio,
+                aligned)
         return roi_align_multilevel_matmul(
             feats, boxes, levels, scales, output_size, sampling_ratio, aligned)
     out_h, out_w = output_size

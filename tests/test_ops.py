@@ -464,3 +464,28 @@ def test_roi_align_windowed_matches_matmul():
                                         False, chunk=8, window=16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_sparse_pooler_interpret_parity():
+    """roi_align_multilevel_sparse (Pallas skip-flag pooler, interpret mode
+    on CPU) == the separable-matmul pooler; exercises the (level, x) sort,
+    per-level Wx zeroing, flag derivation, and un-permutation."""
+    import jax.numpy as jnp
+    from densepose_tpu.ops.pallas.roi_align_kernel import roi_align_multilevel_sparse
+    from densepose_tpu.ops.roi_align import roi_align_multilevel_matmul
+
+    rng = np.random.RandomState(7)
+    feats = [jnp.asarray(rng.randn(32 // (2 ** i), 64 // (2 ** i), 128)
+                         .astype(np.float32)) for i in range(4)]
+    scales = [1 / 4, 1 / 8, 1 / 16, 1 / 32]
+    m = 70
+    xy = rng.rand(m, 2).astype(np.float32) * 100
+    wh = rng.rand(m, 2).astype(np.float32) * 60 + 4
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], axis=1))
+    levels = jnp.asarray(rng.randint(0, 4, size=m).astype(np.int32))
+
+    want = np.asarray(roi_align_multilevel_matmul(
+        feats, boxes, levels, scales, (7, 7), 2, True))
+    got = np.asarray(roi_align_multilevel_sparse(
+        feats, boxes, levels, scales, (7, 7), 2, True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
