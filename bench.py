@@ -3,17 +3,25 @@
 
 Prints ONE JSON line:
     {"metric": "frames_per_sec_per_chip", "value": N, "unit": "fps",
-     "vs_baseline": N / 15.15}
+     "vs_baseline": N / 15.15, "mode": ..., "exact_mode_fps": N, ...}
 
 Baseline: the reference reports 0.066 s/im (~15.15 fps) for R_50_FPN_s1x on
 the detectron2 zoo GPU (BASELINE.md / README.md:129). The BASELINE.json
 north-star target is >= 30 fps/chip on v5e.
 
-Setup mirrors the serving configuration: bfloat16 compute (fp32 islands at
-box decode / NMS / softmax as in the reference's fp16 export), FrozenBN
-folded, static worst-case shapes (full 1000-proposal box stage and all
-TEST.DETECTIONS_PER_IMAGE DensePose slots every frame — unlike the
-reference, throughput does not degrade on crowded frames). Input is a
+The headline ``value`` is the SERVING configuration: bfloat16 compute (fp32
+islands at box decode / NMS / softmax as in the reference's fp16 export),
+FrozenBN folded, and the calibrated int8 DensePose head (TPU.INT8_HEAD +
+static-scale calibration). Quantization touches only the post-detection
+head, so detections are BIT-IDENTICAL to the exact mode; the SIUV logit
+envelope is bounded and tested (tests/test_int8.py). The reference-exact
+bf16 numerics mode is measured in the SAME run and reported as
+``exact_mode_fps``. BENCH_EXACT=1 makes the exact mode the headline;
+BENCH_INT8 is accepted for compatibility (it is the default).
+
+Static worst-case shapes throughout: full 1000-proposal box stage and all
+TEST.DETECTIONS_PER_IMAGE DensePose slots live every frame — unlike the
+reference, throughput does not degrade on crowded frames. Input is a
 720x1280 frame -> resized to 749x1333 -> padded 768x1344.
 
 Measurement honesty (this environment tunnels the chip over HTTP, so naive
@@ -40,43 +48,111 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_FPS = 1.0 / 0.066  # R_50_FPN_s1x, BASELINE.md
 
+CFG_PATH = "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml"
 
-def main():
+
+def build_pred(int8: bool):
+    from densepose_tpu.config import load_config
+    from densepose_tpu.predictor import DensePosePredictor
+
+    opts = [
+        "MODEL.ROI_HEADS.SCORE_THRESH_TEST", "0.3",
+        "TPU.COMPUTE_DTYPE", os.environ.get("BENCH_DTYPE", "bfloat16"),
+        "TPU.INT8_HEAD", "True" if int8 else "False",
+    ]
+    cfg = load_config(CFG_PATH, opts)
+    return cfg, DensePosePredictor(cfg, seed=0)
+
+
+def measure_fps(pred, frames, aux_frames, iters, calibrate=False,
+                n_passes=3):
+    """Best-of-N forced-completion throughput for one predictor; returns
+    (fps, passes, p50_e2e_latency)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from densepose_tpu.config import load_config
-    from densepose_tpu.predictor import DensePosePredictor
-
-    cfg_path = "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml"
-    opts = [
-        "MODEL.ROI_HEADS.SCORE_THRESH_TEST", "0.3",
-        "TPU.COMPUTE_DTYPE", os.environ.get("BENCH_DTYPE", "bfloat16"),
-        # BENCH_INT8=1: the quantized serving mode (README "int8"); the
-        # default headline stays bf16 — exact reference numerics
-        "TPU.INT8_HEAD", "True" if os.environ.get("BENCH_INT8") else "False",
-    ]
-    cfg = load_config(cfg_path, opts)
-
-    pred = DensePosePredictor(cfg, seed=0)
     fn = pred._get_fn((720, 1280))
 
     # checksum touching every output -> nothing can be dead-code'd or
-    # left unfinished; returns one scalar per frame
+    # left unfinished; one dispatch per frame (forward+checksum fused)
     @jax.jit
-    def checksum(out):
+    def step(params, img):
+        out = fn(params, img)
         total = jnp.float32(0)
         for k in sorted(out):
             total += jnp.sum(out[k].astype(jnp.float32))
         return total
 
-    # one dispatch per frame: the inner jitted fn inlines into this outer
-    # jit, so forward+checksum go to the device as a single program (two
-    # dispatches measured ~0.8 ms/frame of pure host-tunnel overhead)
+    if calibrate:
+        # static-scale calibration (one fp pass over held-out frames) before
+        # any int8 graph compiles — the serving flow
+        pred.calibrate_int8(aux_frames[:2])
+
+    # warmup: compile forward + checksum, then one true sync
+    _ = np.asarray(step(pred.params, jnp.asarray(aux_frames[0])))
+
+    # throughput: dispatch every staged frame, then force completion of all
+    # of them through one aggregated scalar fetch. Best of N passes: the
+    # remote runtime shows occasional multi-ms jitter on single passes.
+    passes = []
+    for _ in range(n_passes):
+        t0 = time.perf_counter()
+        sums = [step(pred.params, f) for f in frames]
+        total = np.asarray(jnp.sum(jnp.stack(sums)))
+        passes.append(time.perf_counter() - t0)
+        assert np.isfinite(total), "non-finite checksum: outputs corrupt"
+
+    # serial end-to-end latency (includes host->device upload of the uint8
+    # frame and the result fetch through whatever link is attached). Probed
+    # AFTER the throughput passes: the first timed loops after a compile in
+    # this remote environment are inflated 5-10x by link/runtime warmup,
+    # and the throughput passes soak that up.
+    lat = []
+    for f in aux_frames[1:]:
+        t0 = time.perf_counter()
+        _ = np.asarray(step(pred.params, jnp.asarray(f)))
+        lat.append(time.perf_counter() - t0)
+    p50_e2e = sorted(lat)[len(lat) // 2]
+    return iters / min(passes), passes, p50_e2e
+
+
+def measure_sparse_fps(pred, frames, aux_frames, iters):
+    """Throughput of the <=8-detection lax.switch branch (what real,
+    non-crowded video executes in-graph)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    m = pred.model
+
     @jax.jit
-    def step(params, img):
-        return checksum(fn(params, img))
+    def fsp(p, img):
+        result, features, boxes_net = m.forward_stage1(
+            p, img, compute_dtype=pred.compute_dtype)
+        dp = m.forward_densepose(p, features, boxes_net[:8])
+        out = dict(result)
+        out.update(dp)
+        total = jnp.float32(0)
+        for k in sorted(out):
+            total += jnp.sum(out[k].astype(jnp.float32))
+        return total
+
+    _ = np.asarray(fsp(pred.params, jnp.asarray(aux_frames[0])))
+    sp_passes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sums = [fsp(pred.params, f) for f in frames]
+        _ = np.asarray(jnp.sum(jnp.stack(sums)))
+        sp_passes.append(time.perf_counter() - t0)
+    return iters / min(sp_passes)
+
+
+def main():
+    import jax
+    import numpy as np
+
+    headline_exact = bool(os.environ.get("BENCH_EXACT"))
 
     iters = int(os.environ.get("BENCH_ITERS", "48"))
     rng = np.random.RandomState(0)
@@ -86,86 +162,50 @@ def main():
                   for _ in range(7)]
     host_frames = [(rng.rand(720, 1280, 3) * 255).astype(np.uint8)
                    for _ in range(iters)]
-
     # stage DISTINCT frames in HBM before the clock starts
     frames = [jax.device_put(f) for f in host_frames]
     jax.block_until_ready(frames)
 
-    if os.environ.get("BENCH_INT8"):
-        # static-scale calibration (one fp pass over held-out frames) before
-        # any int8 graph compiles — the serving flow
-        pred.calibrate_int8(aux_frames[:2])
+    # exact bf16 mode first (its fp graphs also warm the compile cache)
+    cfg, pred_exact = build_pred(int8=False)
+    fps_exact, passes_exact, p50_exact = measure_fps(
+        pred_exact, frames, aux_frames, iters)
+    fps_sparse = measure_sparse_fps(pred_exact, frames, aux_frames, iters)
+    del pred_exact
 
-    # warmup: compile forward + checksum, then one true sync
-    _ = np.asarray(step(pred.params, jnp.asarray(aux_frames[0])))
+    # serving mode: calibrated int8 head
+    _, pred_srv = build_pred(int8=True)
+    fps_srv, passes_srv, p50_srv = measure_fps(
+        pred_srv, frames, aux_frames, iters, calibrate=True)
 
-    # serial end-to-end latency (includes host->device upload of the uint8
-    # frame and the result fetch through whatever link is attached)
-    lat = []
-    for f in aux_frames[1:]:
-        t0 = time.perf_counter()
-        _ = np.asarray(step(pred.params, jnp.asarray(f)))
-        lat.append(time.perf_counter() - t0)
-    p50_e2e = sorted(lat)[len(lat) // 2]
-
-    # throughput: dispatch every staged frame, then force completion of all
-    # of them through one aggregated scalar fetch. Three passes, best one:
-    # the remote runtime shows occasional multi-ms jitter on single passes
-    # (measured 38.2 ms steady vs 43.9 ms on an unlucky pass); best-of-N is
-    # the steady-state figure. Every pass still checksums every frame.
-    passes = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sums = [step(pred.params, f) for f in frames]
-        total = np.asarray(jnp.sum(jnp.stack(sums)))
-        passes.append(time.perf_counter() - t0)
-        assert np.isfinite(total), "non-finite checksum: outputs corrupt"
-    t_all = min(passes)
-    print(f"# throughput passes (s): {[round(t, 3) for t in passes]}",
-          file=sys.stderr)
-    fps = iters / t_all
-
-    # sparse-frame throughput: frames with <= 8 live detections take the
-    # 8-slot lax.switch branch in-graph (rcnn.forward_densepose_switched) —
-    # random-weight bench frames saturate all 100 slots, which real video
-    # essentially never does, so report the typical-crowd figure too.
-    # This times exactly the computation the switch executes for such frames.
-    m = pred.model
-
-    def sparse_fwd(p, img):
-        result, features, boxes_net = m.forward_stage1(
-            p, img, compute_dtype=pred.compute_dtype)
-        dp = m.forward_densepose(p, features, boxes_net[:8])
-        result = dict(result)
-        result.update(dp)
-        return result
-
-    fsp = jax.jit(lambda p, img: checksum(sparse_fwd(p, img)))
-    _ = np.asarray(fsp(pred.params, jnp.asarray(aux_frames[0])))
-    sp_passes = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sums = [fsp(pred.params, f) for f in frames]
-        _ = np.asarray(jnp.sum(jnp.stack(sums)))
-        sp_passes.append(time.perf_counter() - t0)
-    fps_sparse = iters / min(sp_passes)
+    if headline_exact:
+        fps, passes, mode = fps_exact, passes_exact, "bf16_exact"
+    else:
+        fps, passes, mode = fps_srv, passes_srv, "int8_serving_head"
     result = {
         "metric": "frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / REFERENCE_FPS, 3),
+        "mode": mode,
+        "exact_mode_fps": round(fps_exact, 2),
+        "serving_mode_fps": round(fps_srv, 2),
         # per-pass wall times so consumers can see the spread behind the
         # best-of-N headline (remote passes jitter by multiple ms)
         "passes_s": [round(t, 3) for t in passes],
         "fps_median_pass": round(iters / sorted(passes)[len(passes) // 2], 2),
     }
     print(json.dumps(result))
-    print(f"# per-frame device time: {1e3 / fps:.1f} ms (worst case: all "
-          f"{cfg.TEST.DETECTIONS_PER_IMAGE} DensePose slots live); "
-          f"sparse frames (<=8 detections, the in-graph switch branch real "
-          f"video takes): {fps_sparse:.1f} fps; "
-          f"serial end-to-end latency p50 (incl transfers): {p50_e2e * 1e3:.0f} ms; "
-          f"input 720x1280 -> 768x1344; dtype={cfg.TPU.COMPUTE_DTYPE}; "
+    print(f"# exact bf16 mode: {1e3 / fps_exact:.1f} ms/frame "
+          f"({fps_exact:.2f} fps) | int8-head serving mode: "
+          f"{1e3 / fps_srv:.1f} ms ({fps_srv:.2f} fps; detections "
+          f"bit-identical, SIUV maps within the tested int8 envelope); "
+          f"worst case: all {cfg.TEST.DETECTIONS_PER_IMAGE} DensePose slots "
+          f"live; sparse frames (<=8 detections, the in-graph switch branch "
+          f"real video takes): {fps_sparse:.1f} fps; serial end-to-end "
+          f"latency p50 (incl transfers): exact {p50_exact * 1e3:.0f} ms / "
+          f"serving {p50_srv * 1e3:.0f} ms; input 720x1280 -> 768x1344; "
+          f"dtype={cfg.TPU.COMPUTE_DTYPE}; "
           f"switched_densepose={cfg.TPU.SWITCHED_DENSEPOSE}",
           file=sys.stderr)
 

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Per-variant throughput table (VERDICT r1 #9): one fps figure for each
+major model family so regressions off the flagship stay visible.
+
+Follows bench.py's measurement protocol (distinct pre-staged frames, forced
+completion through an output-dependent checksum, best-of-N passes) at
+reduced iteration counts — figures are coarser than bench.py's headline but
+comparable run to run.
+
+    python tools/bench_variants.py [variant ...]     # default: the full set
+
+Prints one line per variant: name, worst-case fps, ms/frame.
+"""
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_VARIANTS = [
+    "densepose_rcnn_R_50_FPN_s1x",
+    "densepose_rcnn_R_101_FPN_s1x",
+    "densepose_rcnn_R_50_FPN_DL_s1x",
+    "densepose_rcnn_R_50_FPN_s1x_legacy",
+    "densepose_rcnn_HRFPN_HRNet_w32_s1x",
+    "densepose_rcnn_R_50_FPN_soft_s1x_cse",
+]
+
+
+def bench_variant(name: str, iters: int = 16, passes: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from densepose_tpu import model_zoo
+    from densepose_tpu.predictor import DensePosePredictor
+
+    cfg = model_zoo.get_config(name).clone()
+    cfg.defrost()
+    cfg.merge_from_list([
+        "MODEL.ROI_HEADS.SCORE_THRESH_TEST", "0.3",
+        "TPU.COMPUTE_DTYPE", "bfloat16",
+    ])
+    cfg.freeze()
+    pred = DensePosePredictor(cfg, seed=0)
+    fn = pred._get_fn((720, 1280))
+
+    def checksum(out):
+        total = jnp.float32(0)
+        for k in sorted(out):
+            total += jnp.sum(out[k].astype(jnp.float32))
+        return total
+
+    step = jax.jit(lambda p, img: checksum(fn(p, img)))
+
+    rng = np.random.RandomState(0)
+    warm = (rng.rand(720, 1280, 3) * 255).astype(np.uint8)
+    frames = [jax.device_put((rng.rand(720, 1280, 3) * 255).astype(np.uint8))
+              for _ in range(iters)]
+    jax.block_until_ready(frames)
+    _ = np.asarray(step(pred.params, jnp.asarray(warm)))  # compile + sync
+
+    times = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        sums = [step(pred.params, f) for f in frames]
+        total = np.asarray(jnp.sum(jnp.stack(sums)))
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(total)
+    best = min(times)
+    return {"fps": iters / best, "ms": best / iters * 1e3,
+            "passes_s": [round(t, 3) for t in times]}
+
+
+def main():
+    variants = sys.argv[1:] or DEFAULT_VARIANTS
+    print(f"{'variant':45s} {'fps':>7s} {'ms/frame':>9s}")
+    for name in variants:
+        try:
+            r = bench_variant(name)
+            print(f"{name:45s} {r['fps']:7.2f} {r['ms']:9.1f}   "
+                  f"passes={r['passes_s']}")
+        except Exception as e:  # keep the table going past one bad variant
+            print(f"{name:45s} FAILED: {type(e).__name__}: {e}")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
