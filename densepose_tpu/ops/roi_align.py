@@ -127,6 +127,18 @@ def roi_align_multilevel(
             return roi_align_multilevel_sparse(
                 feats, boxes, levels, scales, output_size, sampling_ratio,
                 aligned)
+        if os.environ.get("DENSEPOSE_TPU_MATMUL_POOLER"):
+            # A/B knob: the pre-r2 every-chunk-times-every-level form
+            return roi_align_multilevel_matmul(
+                feats, boxes, levels, scales, output_size, sampling_ratio,
+                aligned)
+        if len(feats) > 1:
+            # default TPU multi-level path: level-sorted chunks skip the
+            # absent levels per chunk (reassociation-level numerics;
+            # measured end-to-end — docs/ARCHITECTURE.md)
+            return roi_align_multilevel_levelsorted(
+                feats, boxes, levels, scales, output_size, sampling_ratio,
+                aligned)
         return roi_align_multilevel_matmul(
             feats, boxes, levels, scales, output_size, sampling_ratio, aligned)
     out_h, out_w = output_size
@@ -310,6 +322,67 @@ def roi_align_multilevel_matmul(
             acc = pooled * sel if acc is None else acc + pooled * sel
         outs.append(acc)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def roi_align_multilevel_levelsorted(
+    feats: List[jnp.ndarray],
+    boxes: jnp.ndarray,
+    levels: jnp.ndarray,
+    scales: Sequence[float],
+    output_size: Tuple[int, int],
+    sampling_ratio: int,
+    aligned: bool,
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """Separable-matmul multi-level ROIAlign with level-sorted chunks.
+
+    The plain matmul pooler contracts EVERY chunk of boxes against EVERY
+    pyramid level and mask-selects — 4x the necessary einsum FLOPs and HBM
+    traffic for a 4-level pyramid. Sorting boxes by assigned level first
+    makes each chunk's level set nearly always a single level (at most the
+    3 chunk-boundary chunks span two), so a per-(chunk, level)
+    ``lax.cond`` skips the absent levels entirely: weight build, both
+    einsums and the select all vanish for levels no box in the chunk uses.
+    TPU executes only the taken branch of a conditional, so the skipped
+    work costs nothing but a predicate.
+
+    Per-box results are the SAME einsums over the same operand rows as
+    roi_align_multilevel_matmul, scattered back to the caller's box order;
+    chunk composition and the cond wrapper shift einsum codegen/tiling, so
+    equality is reassociation-level (within the pooler's existing float
+    noise), not bitwise. The sort key is the level only (stable), so
+    within a level the caller's score-descending order is preserved.
+    """
+    assert sampling_ratio > 0
+    m = boxes.shape[0]
+    out_h, out_w = output_size
+    c = feats[0].shape[-1]
+    dtype = feats[0].dtype
+
+    order = jnp.argsort(levels, stable=True)
+    inv = jnp.argsort(order, stable=True)
+    b_s = boxes[order]
+    lv_s = levels[order]
+
+    outs = []
+    for s in range(0, m, chunk):
+        b = b_s[s:s + chunk]
+        lv = lv_s[s:s + chunk]
+        n = b.shape[0]
+        acc = jnp.zeros((n, out_h, out_w, c), dtype=dtype)
+        for li, (f, sc) in enumerate(zip(feats, scales)):
+            present = jnp.any(lv == li)
+
+            def pool(acc, b=b, lv=lv, f=f, sc=sc, li=li):
+                pooled = roi_align_single_matmul(
+                    f, b, sc, output_size, sampling_ratio, aligned)
+                sel = (lv == li).astype(pooled.dtype)[:, None, None, None]
+                return acc + pooled * sel
+
+            acc = jax.lax.cond(present, pool, lambda a: a, acc)
+        outs.append(acc)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out[inv]
 
 
 def _pair_einsums_yfirst(wy_c, wx_c, f):

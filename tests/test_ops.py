@@ -466,6 +466,40 @@ def test_roi_align_windowed_matches_matmul():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_roi_align_levelsorted_matches_matmul():
+    """Level-sorted chunked pooler (the default TPU multi-level routing) ==
+    the plain matmul pooler: the same per-box einsums run, only grouped by
+    level, with absent levels cond-skipped and results scattered back to
+    caller box order. Chunk composition shifts einsum tiling, so equality
+    is reassociation-level, not bitwise."""
+    from densepose_tpu.ops.roi_align import (assign_boxes_to_levels,
+                                             roi_align_multilevel_levelsorted,
+                                             roi_align_multilevel_matmul)
+    feats = [jnp.asarray(RNG.randn(32 // (2 ** i), 40 // (2 ** i), 8)
+                         .astype(np.float32)) for i in range(4)]
+    scales = [0.25 / (2 ** i) for i in range(4)]
+    boxes = (RNG.rand(37, 4) * np.array([80, 60, 80, 60])).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + np.abs(boxes[:, 2:]) + 8
+    b = jnp.asarray(boxes)
+    lv = assign_boxes_to_levels(b, 2, 5)
+    want = roi_align_multilevel_matmul(feats, b, lv, scales, (7, 7), 2, False,
+                                       chunk=8)
+    got = roi_align_multilevel_levelsorted(feats, b, lv, scales, (7, 7), 2,
+                                           False, chunk=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    # degenerate: all boxes on one level (3 of 4 conds skip everywhere);
+    # same chunking, but the cond wrapper alone shifts einsum codegen, so
+    # still reassociation-level only
+    lv1 = jnp.zeros_like(lv)
+    want1 = roi_align_multilevel_matmul(feats, b, lv1, scales, (7, 7), 2,
+                                        False, chunk=8)
+    got1 = roi_align_multilevel_levelsorted(feats, b, lv1, scales, (7, 7), 2,
+                                            False, chunk=8)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_sparse_pooler_interpret_parity():
     """roi_align_multilevel_sparse (Pallas skip-flag pooler, interpret mode
     on CPU) == the separable-matmul pooler; exercises the (level, x) sort,
