@@ -10,7 +10,9 @@ from __future__ import annotations
 from typing import Callable, Dict, Tuple
 
 from ..utils.registry import Registry
-from .fpn import fpn_forward, fpn_out_strides, fpn_spec
+from .fpn import (fpn_forward, fpn_out_strides, fpn_spec,
+                  retinanet_fpn_forward, retinanet_fpn_out_strides,
+                  retinanet_fpn_spec)
 from .hrnet import hrfpn_forward, hrfpn_out_strides, hrfpn_spec
 from .resnet import resnet_forward, resnet_spec
 
@@ -37,6 +39,9 @@ BACKBONE_REGISTRY.register("build_hrfpn_backbone",
                            (hrfpn_spec, hrfpn_forward, hrfpn_out_strides))
 BACKBONE_REGISTRY.register("build_resnet_backbone",
                            (_plain_resnet_spec, _plain_resnet_forward, _resnet_strides))
+BACKBONE_REGISTRY.register("build_retinanet_resnet_fpn_backbone",
+                           (retinanet_fpn_spec, retinanet_fpn_forward,
+                            retinanet_fpn_out_strides))
 
 
 def backbone_fns(cfg) -> Tuple[Callable, Callable, Callable]:

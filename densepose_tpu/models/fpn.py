@@ -3,12 +3,16 @@
 Lateral 1x1 + output 3x3 convs per level, top-down exact-2x nearest upsample
 with sum fusion (fpn.py:125-166), LastLevelMaxPool p6 (fpn.py:187-199).
 DensePose configs use norm="" (bias convs, no norm) and fuse_type="sum".
+The RetinaNet variant (LastLevelP6P7 from res5, fpn.py:202-220,246-268 —
+vestigial in the reference, no shipped config uses it) is included for
+inventory parity as ``build_retinanet_resnet_fpn_backbone``.
 """
 
 from __future__ import annotations
 
 from typing import Dict, List
 
+import jax
 import jax.numpy as jnp
 
 from ..checkpoint.spec import Spec, conv_spec
@@ -44,13 +48,8 @@ def fpn_spec(cfg, prefix: str = "backbone") -> Spec:
     return spec
 
 
-def fpn_forward(
-    p: Dict,
-    x: jnp.ndarray,
-    cfg,
-    prefix: str = "backbone",
-) -> Dict[str, jnp.ndarray]:
-    """Returns {"p2": ..., "p6": ...} NHWC (or HWC) feature maps."""
+def _fpn_levels(p, x, cfg, prefix) -> "tuple[Dict, Dict]":
+    """Shared lateral/top-down/output pass; returns (p-levels, bottom_up)."""
     in_features: List[str] = list(cfg.MODEL.FPN.IN_FEATURES)
     bottom_up = resnet_forward(p, x, cfg, prefix=f"{prefix}.bottom_up",
                                out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES))
@@ -68,7 +67,18 @@ def fpn_forward(
         results[f"p{stage}"] = conv2d(
             prev, p[f"{prefix}.fpn_output{stage}.weight"],
             p.get(f"{prefix}.fpn_output{stage}.bias"), padding=1)
+    return results, bottom_up
 
+
+def fpn_forward(
+    p: Dict,
+    x: jnp.ndarray,
+    cfg,
+    prefix: str = "backbone",
+) -> Dict[str, jnp.ndarray]:
+    """Returns {"p2": ..., "p6": ...} NHWC (or HWC) feature maps."""
+    in_features: List[str] = list(cfg.MODEL.FPN.IN_FEATURES)
+    results, _ = _fpn_levels(p, x, cfg, prefix)
     top_stage = _STAGE_LOG2[in_features[-1]]
     results[f"p{top_stage + 1}"] = max_pool2d(
         results[f"p{top_stage}"], kernel_size=1, stride=2)
@@ -80,4 +90,49 @@ def fpn_out_strides(cfg) -> Dict[str, int]:
     strides = {f"p{_STAGE_LOG2[f]}": 2 ** _STAGE_LOG2[f] for f in in_features}
     top = _STAGE_LOG2[in_features[-1]] + 1
     strides[f"p{top}"] = 2 ** top
+    return strides
+
+
+def retinanet_fpn_spec(cfg, prefix: str = "backbone") -> Spec:
+    """RetinaNet FPN: the lateral/output convs plus LastLevelP6P7 — two
+    stride-2 3x3 convs off res5 (fpn.py:202-220). Param names follow
+    detectron2's module tree (``backbone.top_block.p6/p7``)."""
+    spec = fpn_spec(cfg, prefix=prefix)
+    out_channels = cfg.MODEL.FPN.OUT_CHANNELS
+    # res5 = 8x res2 channels in both block families (2048 for bottleneck
+    # base 256, 512 for basic base 64)
+    res5_ch = cfg.MODEL.RESNETS.RES2_OUT_CHANNELS * 8
+    conv_spec(spec, f"{prefix}.top_block.p6", res5_ch, out_channels, 3,
+              bias=True, norm="")
+    conv_spec(spec, f"{prefix}.top_block.p7", out_channels, out_channels, 3,
+              bias=True, norm="")
+    return spec
+
+
+def retinanet_fpn_forward(
+    p: Dict,
+    x: jnp.ndarray,
+    cfg,
+    prefix: str = "backbone",
+) -> Dict[str, jnp.ndarray]:
+    """FPN with LastLevelP6P7: p6 = conv3x3/2(res5), p7 = conv3x3/2(relu(p6))
+    (fpn.py:216-220)."""
+    in_features: List[str] = list(cfg.MODEL.FPN.IN_FEATURES)
+    results, bottom_up = _fpn_levels(p, x, cfg, prefix)
+    top = _STAGE_LOG2[in_features[-1]]
+    p6 = conv2d(bottom_up["res5"], p[f"{prefix}.top_block.p6.weight"],
+                p.get(f"{prefix}.top_block.p6.bias"), stride=2, padding=1)
+    p7 = conv2d(jax.nn.relu(p6), p[f"{prefix}.top_block.p7.weight"],
+                p.get(f"{prefix}.top_block.p7.bias"), stride=2, padding=1)
+    results[f"p{top + 1}"] = p6
+    results[f"p{top + 2}"] = p7
+    return results
+
+
+def retinanet_fpn_out_strides(cfg) -> Dict[str, int]:
+    in_features = cfg.MODEL.FPN.IN_FEATURES
+    strides = {f"p{_STAGE_LOG2[f]}": 2 ** _STAGE_LOG2[f] for f in in_features}
+    top = _STAGE_LOG2[in_features[-1]]
+    strides[f"p{top + 1}"] = 2 ** (top + 1)
+    strides[f"p{top + 2}"] = 2 ** (top + 2)
     return strides

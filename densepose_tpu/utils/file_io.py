@@ -2,13 +2,16 @@
 
 Equivalent surface of the reference's PathManager setup
 (/root/reference/detectron2/utils/file_io.py): resolves the
-``detectron2://`` scheme to ``https://dl.fbaipublicfiles.com/detectron2/``
-and caches http(s) downloads locally. In zero-egress environments the
-download raises a clear error instead of hanging.
+``detectron2://`` scheme to ``https://dl.fbaipublicfiles.com/detectron2/``,
+rewrites OneDrive share links to their direct-download API form (iopath's
+``OneDrivePathHandler`` semantics), and caches http(s) downloads locally.
+In zero-egress environments the download raises a clear error instead of
+hanging.
 """
 
 from __future__ import annotations
 
+import base64
 import hashlib
 import logging
 import os
@@ -18,6 +21,15 @@ logger = logging.getLogger(__name__)
 
 DETECTRON2_PREFIX = "detectron2://"
 DETECTRON2_URL = "https://dl.fbaipublicfiles.com/detectron2/"
+ONEDRIVE_PREFIX = "https://1drv.ms/"
+
+
+def onedrive_download_url(share_link: str) -> str:
+    """OneDrive share link -> direct-download URL (the encoding iopath's
+    OneDrivePathHandler uses: base64url of the link, 'u!' prefix, padding
+    stripped)."""
+    b64 = base64.urlsafe_b64encode(share_link.encode()).decode().rstrip("=")
+    return f"https://api.onedrive.com/v1.0/shares/u!{b64}/root/content"
 CACHE_DIR = os.path.expanduser(os.environ.get("DENSEPOSE_TPU_CACHE",
                                               "~/.cache/densepose_tpu"))
 
@@ -27,6 +39,8 @@ def get_local_path(path: str, timeout: int = 60) -> str:
     cache directory (downloading on first use)."""
     if path.startswith(DETECTRON2_PREFIX):
         path = DETECTRON2_URL + path[len(DETECTRON2_PREFIX):]
+    if path.startswith(ONEDRIVE_PREFIX):
+        path = onedrive_download_url(path)
     if path.startswith(("http://", "https://")):
         os.makedirs(CACHE_DIR, exist_ok=True)
         digest = hashlib.sha1(path.encode()).hexdigest()[:16]

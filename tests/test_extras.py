@@ -215,3 +215,83 @@ def test_uv_visualizer_renders_gradient():
     out = vis.visualize(img, ([res], np.array([[0, 0, w, h]], np.float32)))
     colors = np.unique(out.reshape(-1, 3), axis=0)
     assert len(colors) > 16, f"only {len(colors)} colors — gradient collapsed"
+
+
+# ---------------------------------------------------------------------------
+# vestigial-parity extras: OneDrive links, RetinaNet FPN backbone
+# ---------------------------------------------------------------------------
+
+def test_onedrive_share_link_rewrite():
+    """1drv.ms share links rewrite to the api.onedrive.com direct-download
+    form (iopath OneDrivePathHandler semantics: base64url, u! prefix, no
+    padding)."""
+    from densepose_tpu.utils.file_io import onedrive_download_url
+    link = "https://1drv.ms/u/s!AmkRs-xASEQ8a1Zb"
+    url = onedrive_download_url(link)
+    assert url.startswith("https://api.onedrive.com/v1.0/shares/u!")
+    assert url.endswith("/root/content")
+    import base64
+    b64 = url[len("https://api.onedrive.com/v1.0/shares/u!"):-len("/root/content")]
+    pad = "=" * (-len(b64) % 4)
+    assert base64.urlsafe_b64decode(b64 + pad).decode() == link
+
+
+def test_retinanet_fpn_backbone():
+    """build_retinanet_resnet_fpn_backbone (vestigial in the reference,
+    fpn.py:246-268): p3-p5 from the shared FPN pass, p6 = conv3x3/2(res5),
+    p7 = conv3x3/2(relu(p6)) — p6/p7 checked against torch convs fed the
+    same res5 map."""
+    import torch
+    import torch.nn.functional as F
+    from densepose_tpu.config import get_cfg
+    from densepose_tpu.checkpoint.transform import torch_state_to_jax
+    from densepose_tpu.models.backbones import backbone_fns
+    from densepose_tpu.models.resnet import resnet_forward
+
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.NAME = "build_retinanet_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res3", "res4", "res5"]
+    cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 8
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.MODEL.RESNETS.NUM_GROUPS = 1
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 4
+    cfg.MODEL.FPN.IN_FEATURES = ["res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 16
+
+    spec_fn, fwd_fn, strides_fn = backbone_fns(cfg)
+    spec = spec_fn(cfg)
+    state = {}
+    for name, ps in spec.items():
+        if name.endswith("running_var"):
+            state[name] = (RNG.rand(*ps.shape) * 0.5 + 0.5).astype(np.float32)
+        else:
+            state[name] = (RNG.randn(*ps.shape) * 0.1).astype(np.float32)
+    params = {k: jnp.asarray(v)
+              for k, v in torch_state_to_jax(state, spec, fold_bn=True).items()}
+
+    x = jnp.asarray(RNG.rand(64, 96, 3).astype(np.float32))
+    feats = fwd_fn(params, x, cfg)
+    assert sorted(feats) == ["p3", "p4", "p5", "p6", "p7"]
+    strides = strides_fn(cfg)
+    assert strides == {"p3": 8, "p4": 16, "p5": 32, "p6": 64, "p7": 128}
+    for k in ("p3", "p4", "p5"):
+        s = strides[k]
+        assert feats[k].shape == (64 // s, 96 // s, 16), (k, feats[k].shape)
+    # p6/p7 shapes are conv ceil-halvings of res5, checked via the twin below
+
+    res5 = resnet_forward(params, x, cfg, prefix="backbone.bottom_up",
+                          out_features=("res5",))["res5"]
+    r5 = torch.from_numpy(np.asarray(res5)).permute(2, 0, 1)[None]
+    w6 = torch.from_numpy(state["backbone.top_block.p6.weight"])
+    b6 = torch.from_numpy(state["backbone.top_block.p6.bias"])
+    w7 = torch.from_numpy(state["backbone.top_block.p7.weight"])
+    b7 = torch.from_numpy(state["backbone.top_block.p7.bias"])
+    p6_t = F.conv2d(r5, w6, b6, stride=2, padding=1)
+    p7_t = F.conv2d(F.relu(p6_t), w7, b7, stride=2, padding=1)
+    np.testing.assert_allclose(
+        np.asarray(feats["p6"]), p6_t[0].permute(1, 2, 0).numpy(),
+        atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(feats["p7"]), p7_t[0].permute(1, 2, 0).numpy(),
+        atol=1e-5, rtol=1e-5)
