@@ -132,10 +132,13 @@ def roi_align_multilevel(
             return roi_align_multilevel_matmul(
                 feats, boxes, levels, scales, output_size, sampling_ratio,
                 aligned)
-        if len(feats) > 1:
+        if len(feats) > 1 and not _is_vmapped(boxes):
             # default TPU multi-level path: level-sorted chunks skip the
             # absent levels per chunk (reassociation-level numerics;
-            # measured end-to-end — docs/ARCHITECTURE.md)
+            # measured end-to-end — docs/ARCHITECTURE.md). Under vmap the
+            # per-chunk lax.cond lowers to a select that executes BOTH
+            # branches, so the skip buys nothing and the sort/scatter is
+            # pure overhead — batched forwards take the matmul path.
             return roi_align_multilevel_levelsorted(
                 feats, boxes, levels, scales, output_size, sampling_ratio,
                 aligned)
@@ -485,6 +488,15 @@ def roi_align_multilevel_windowed(
         sel = (lv_s == li).astype(jnp.float32)[:, None, None, None]
         acc = pooled * sel if acc is None else acc + pooled * sel
     return acc[inv].astype(dtype)
+
+
+def _is_vmapped(x) -> bool:
+    """True when ``x`` is being traced under a jax.vmap batch dimension."""
+    try:
+        from jax.interpreters import batching
+        return isinstance(x, batching.BatchTracer)
+    except Exception:
+        return False
 
 
 def _on_tpu() -> bool:

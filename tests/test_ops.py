@@ -500,6 +500,35 @@ def test_roi_align_levelsorted_matches_matmul():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_roi_align_multilevel_vmap_routing(monkeypatch):
+    """Under vmap the TPU multi-level routing must take the matmul path
+    (cond-under-vmap executes both branches, making the level-sorted skip
+    pure overhead) and still match per-image results."""
+    import jax
+    from densepose_tpu.ops import roi_align as RA
+
+    feats = [jnp.asarray(RNG.randn(2, 32 // (2 ** i), 40 // (2 ** i), 8)
+                         .astype(np.float32)) for i in range(4)]
+    scales = [0.25 / (2 ** i) for i in range(4)]
+    boxes = (RNG.rand(2, 9, 4) * np.array([80, 60, 80, 60])).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + np.abs(boxes[..., 2:]) + 8
+    b = jnp.asarray(boxes)
+    lv = jax.vmap(lambda bb: RA.assign_boxes_to_levels(bb, 2, 5))(b)
+
+    monkeypatch.setattr(RA, "_on_tpu", lambda: True)
+
+    def pool(fs, bb, ll):
+        return RA.roi_align_multilevel(list(fs), bb, ll, scales, (7, 7), 2,
+                                       False)
+
+    got = jax.vmap(pool, in_axes=(0, 0, 0))(tuple(feats), b, lv)
+    for i in range(2):
+        want = RA.roi_align_multilevel_matmul(
+            [f[i] for f in feats], b[i], lv[i], scales, (7, 7), 2, False)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_sparse_pooler_interpret_parity():
     """roi_align_multilevel_sparse (Pallas skip-flag pooler, interpret mode
     on CPU) == the separable-matmul pooler; exercises the (level, x) sort,
