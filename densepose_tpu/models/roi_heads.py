@@ -304,9 +304,24 @@ def decoder_forward(
     from ..ops.roi_align import _on_tpu
     # TPU: shift-add scale-2 upsample (measured -0.6 ms/frame end to end;
     # fp32-accumulated — differs from the lerp resize only at reassociation
-    # level). CPU keeps the lerp resize, the torch-twin-exact formulation.
-    up2x_fast = _on_tpu()
-    acc = None
+    # level), and the per-chain FINAL upsamples merge into one shared
+    # upsample of the half-resolution sum (upsampling is linear:
+    # up(x)+up(y) == up(x+y) up to fp reassociation) — two fewer
+    # common-stride-sized HBM round trips. CPU keeps the reference's
+    # per-chain formulation, the torch-twin-exact form.
+    import os
+    on_tpu = _on_tpu()
+    share_up = on_tpu and not os.environ.get("DENSEPOSE_TPU_DECODER_PERCHAIN_UP")
+    acc = None       # at common stride
+    acc_half = None  # at 2x common stride, one shared upsample pending
+
+    def up2x(x):
+        if on_tpu:
+            from ..ops.resize import upsample2x_bilinear
+            return upsample2x_bilinear(x)
+        h, w = x.shape[-3] * 2, x.shape[-2] * 2
+        return resize_bilinear(x, (h, w), scale=(2.0, 2.0))
+
     for f in in_features:
         stride = strides[f]
         length = max(1, int(math.log2(stride) - math.log2(common_stride)))
@@ -316,13 +331,14 @@ def decoder_forward(
             idx = k * 2 if has_up else k
             x = jax.nn.relu(conv2d(x, p[f"{prefix}.{f}.{idx}.weight"],
                                    p.get(f"{prefix}.{f}.{idx}.bias"), padding=1))
-            if has_up:
-                if up2x_fast:
-                    from ..ops.resize import upsample2x_bilinear
-                    x = upsample2x_bilinear(x)
-                else:
-                    h, w = x.shape[-3] * 2, x.shape[-2] * 2
-                    x = resize_bilinear(x, (h, w), scale=(2.0, 2.0))
+            if has_up and not (share_up and k == length - 1):
+                x = up2x(x)
+        if has_up and share_up:
+            acc_half = x if acc_half is None else acc_half + x
+        else:
+            acc = x if acc is None else acc + x
+    if acc_half is not None:
+        x = up2x(acc_half)
         acc = x if acc is None else acc + x
     return conv2d(acc, p[f"{prefix}.predictor.weight"], p[f"{prefix}.predictor.bias"])
 

@@ -170,3 +170,39 @@ def test_chart_predictor_merged_path_parity_on_cpu(monkeypatch):
     for key in want:
         np.testing.assert_allclose(np.asarray(got[key]), np.asarray(want[key]),
                                    atol=2e-4, rtol=2e-3, err_msg=key)
+
+
+def test_decoder_tpu_routing_shared_upsample_parity(monkeypatch):
+    """The TPU decoder routing (shift-add upsample + one shared final
+    upsample of the half-resolution sum) vs the reference per-chain
+    formulation: upsampling is linear, so differences are reassociation
+    only."""
+    from densepose_tpu.models import roi_heads as RH
+
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 8
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_CONV_DIMS = 8
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_NUM_CLASSES = 5
+
+    spec = RH.decoder_spec(cfg)
+    params = {k: jnp.asarray((RNG.randn(*ps.shape) * 0.1).astype(np.float32))
+              for k, ps in spec.items()}
+    from densepose_tpu.checkpoint.transform import torch_state_to_jax
+    params = {k: jnp.asarray(v) for k, v in torch_state_to_jax(
+        {k: np.asarray(v) for k, v in params.items()}, spec).items()}
+
+    feats = {f"p{i}": jnp.asarray(
+        RNG.randn(32 // 2 ** (i - 2), 40 // 2 ** (i - 2), 8)
+        .astype(np.float32)) for i in range(2, 6)}
+
+    from densepose_tpu.ops import roi_align as RA
+    want = RH.decoder_forward(params, feats, cfg)          # CPU reference form
+    monkeypatch.setattr(RA, "_on_tpu", lambda: True)
+    got = RH.decoder_forward(params, feats, cfg)           # TPU routing
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-4)

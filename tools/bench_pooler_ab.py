@@ -83,6 +83,11 @@ def main():
         ("matmul", {"DENSEPOSE_TPU_MATMUL_POOLER": "1"}),
         ("levelsorted", {"DENSEPOSE_TPU_MATMUL_POOLER": None}),
     ]
+    if len(sys.argv) > 2 and sys.argv[2] == "decoder":
+        variants = [
+            ("perchain-up", {"DENSEPOSE_TPU_DECODER_PERCHAIN_UP": "1"}),
+            ("shared-up", {"DENSEPOSE_TPU_DECODER_PERCHAIN_UP": None}),
+        ]
     for name, env in variants:
         r = measure(env, frames, warm, iters)
         print(f"{name:12s} {r['fps']:7.2f} fps  {r['ms']:6.1f} ms/frame  "
