@@ -9,9 +9,12 @@ design:
 * with ``batch`` > 1 (default: the local device count) frames are grouped
   and dispatched through ``predictor.predict_batch`` — on a multi-device
   runtime the batch shards over the ``data`` mesh axis
-  (parallel/mesh.py::data_parallel_forward), on one chip it vmaps to
-  amortize dispatch overhead; the tail group is padded with repeated frames
-  and trimmed on the host,
+  (parallel/mesh.py::data_parallel_forward), on one chip it vmaps; the
+  tail group is padded with repeated frames and trimmed on the host.
+  Keep batch <= the device count: >1 frame per chip measured SLOWER than
+  the single-frame graph (the vmapped kernel loses the cond-skip pooler
+  and sparse-count switch specializations — see docs/ARCHITECTURE.md
+  "Batching frames does NOT pay"),
 * device->host transfer of the *previous* dispatch overlaps the current
   one's compute (double buffering via JAX's async dispatch),
 * KeyboardInterrupt flushes the partial output video, matching run.py:58-62.
