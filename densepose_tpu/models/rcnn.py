@@ -171,15 +171,39 @@ class GeneralizedRCNN:
         dp = densepose_stage_forward(params, features, boxes_net, self.cfg)
         return {f"pred_densepose_{k}": v for k, v in dp.items()}
 
+    def resnet_prefix(self):
+        """Param prefix of the ResNet bottom-up, or None for non-ResNet
+        backbones (the int8 backbone mode only applies to bottlenecks)."""
+        name = self.cfg.MODEL.BACKBONE.NAME
+        if name in ("build_resnet_fpn_backbone",
+                    "build_retinanet_resnet_fpn_backbone"):
+            return "backbone.bottom_up"
+        if name == "build_resnet_backbone":
+            return "backbone"
+        return None
+
     def forward_int8_calibration(self, params: Dict, image_u8: jnp.ndarray,
-                                 compute_dtype=jnp.float32) -> jnp.ndarray:
-        """Full fp pass collecting the DensePose stacked-conv input maxima
-        (n_stacked,) — the data for the static int8 activation scales
-        (predictor.calibrate_int8)."""
-        from .roi_heads import densepose_stacked_calibration
-        _, features, boxes_net = self.forward_stage1(
-            params, image_u8, compute_dtype)
-        return densepose_stacked_calibration(params, features, boxes_net, self.cfg)
+                                 compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+        """Full fp pass collecting the activation maxima that seed the static
+        int8 scales (predictor.calibrate_int8): ``head`` — the DensePose
+        stacked-conv input maxima (TPU.INT8_HEAD), ``backbone`` — the
+        per-block quantization-site maxima (TPU.INT8_BACKBONE)."""
+        cfg = self.cfg
+        out = {}
+        if getattr(cfg.TPU, "INT8_HEAD", False) and cfg.MODEL.DENSEPOSE_ON:
+            from .roi_heads import densepose_stacked_calibration
+            _, features, boxes_net = self.forward_stage1(
+                params, image_u8, compute_dtype)
+            out["head"] = densepose_stacked_calibration(
+                params, features, boxes_net, cfg)
+        prefix = self.resnet_prefix()
+        if (getattr(cfg.TPU, "INT8_BACKBONE", False) and prefix is not None
+                and cfg.MODEL.RESNETS.DEPTH >= 50):
+            from .resnet import resnet_int8_calibration
+            h0, w0 = image_u8.shape[0], image_u8.shape[1]
+            x, _, _ = self.preprocess(image_u8, (h0, w0), compute_dtype)
+            out["backbone"] = resnet_int8_calibration(params, x, cfg, prefix)
+        return out
 
     def forward_densepose_switched(self, params: Dict, features: Dict,
                                    boxes_net: jnp.ndarray,

@@ -114,6 +114,159 @@ def _basic_block(p: Dict, name: str, x, stride: int, has_shortcut: bool):
     return jax.nn.relu(out + shortcut)
 
 
+def _num_stages(out_features) -> int:
+    return max({"res2": 1, "res3": 2, "res4": 3, "res5": 4}.get(f, 0)
+               for f in out_features)
+
+
+def _iter_blocks(cfg, prefix: str, num_stages: int):
+    """Static block-structure walk shared by the int8 forward, the int8
+    calibration pass and the calibration site naming — one source of truth
+    so scale vectors and consumers can never get out of order.
+
+    Yields (stage_name, block_name, stride, dilation, has_shortcut,
+    next_block_name-or-None, is_stage_output)."""
+    depth = cfg.MODEL.RESNETS.DEPTH
+    res5_dilation = cfg.MODEL.RESNETS.RES5_DILATION
+    blocks = NUM_BLOCKS_PER_STAGE[depth]
+    chans = _stage_channels(cfg)
+
+    names = []
+    for stage_idx in range(num_stages):
+        stage_name = f"res{stage_idx + 2}"
+        cin, _, cout = chans[stage_idx]
+        dilation = res5_dilation if stage_idx == 3 else 1
+        first_stride = 1 if stage_idx == 0 or (stage_idx == 3 and dilation == 2) else 2
+        for i in range(blocks[stage_idx]):
+            b_in = cin if i == 0 else cout
+            names.append((stage_name,
+                          f"{prefix}.{stage_name}.{i}",
+                          first_stride if i == 0 else 1,
+                          dilation,
+                          b_in != cout,
+                          i == blocks[stage_idx] - 1))
+    for j, (stage, name, stride, dil, sc, last) in enumerate(names):
+        nxt = names[j + 1][1] if j + 1 < len(names) else None
+        yield stage, name, stride, dil, sc, nxt, last
+
+
+def _quant_s8(x: jnp.ndarray, scale) -> jnp.ndarray:
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127
+                    ).astype(jnp.int8)
+
+
+def _bottleneck_int8(p: Dict, name: str, q: jnp.ndarray, s_in,
+                     stride: int, stride_in_1x1: bool, dilation: int,
+                     has_shortcut: bool) -> jnp.ndarray:
+    """Bottleneck as a statically-calibrated s8 chain (serving mode).
+
+    conv1/conv2 stay in the integer domain end to end (s32 bias+ReLU, one
+    requant multiply — ops/conv.py::conv2d_int8_chain); conv3 and the
+    shortcut dequantize to f32 for the residual add, the final ReLU runs in
+    f32 and the caller requantizes to the next block's input scale. FrozenBN
+    is already folded into weights/bias at load time, so the fp block is a
+    pure conv+bias chain and quantizes without norm special cases."""
+    from ..ops.conv import conv2d_int8_chain
+    s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
+    q1 = conv2d_int8_chain(
+        q, s_in, p[f"{name}.conv1.qweight"], p[f"{name}.conv1.wscale"],
+        p.get(f"{name}.conv1.bias"), stride=s1,
+        out_scale=p[f"{name}.conv2.in_scale"])
+    q2 = conv2d_int8_chain(
+        q1, p[f"{name}.conv2.in_scale"], p[f"{name}.conv2.qweight"],
+        p[f"{name}.conv2.wscale"], p.get(f"{name}.conv2.bias"), stride=s3,
+        padding=dilation, dilation=dilation,
+        out_scale=p[f"{name}.conv3.in_scale"])
+    y = conv2d_int8_chain(
+        q2, p[f"{name}.conv3.in_scale"], p[f"{name}.conv3.qweight"],
+        p[f"{name}.conv3.wscale"], p.get(f"{name}.conv3.bias"),
+        relu=False, out_scale=None)
+    if has_shortcut:
+        sc = conv2d_int8_chain(
+            q, s_in, p[f"{name}.shortcut.qweight"], p[f"{name}.shortcut.wscale"],
+            p.get(f"{name}.shortcut.bias"), stride=stride,
+            relu=False, out_scale=None)
+    else:
+        sc = q.astype(jnp.float32) * s_in
+    return jax.nn.relu(y + sc)
+
+
+def int8_backbone_active(p: Dict, cfg, prefix: str) -> bool:
+    """True when the serving-mode int8 backbone should run: opted in via
+    TPU.INT8_BACKBONE, calibrated scales present (predictor.calibrate_int8),
+    bottleneck architecture (R50+; BasicBlock nets keep the fp path)."""
+    return (bool(getattr(cfg.TPU, "INT8_BACKBONE", False))
+            and cfg.MODEL.RESNETS.DEPTH >= 50
+            and f"{prefix}.res2.0.conv1.qweight" in p
+            # the s8 chain assumes FrozenBN was folded into weight/bias at
+            # load time (transform.py); unfolded norms keep the fp path
+            and f"{prefix}.res2.0.conv1.norm.running_mean" not in p)
+
+
+def _resnet_int8_stages(p: Dict, x: jnp.ndarray, cfg, prefix: str,
+                        out_features) -> Dict[str, jnp.ndarray]:
+    """res2..resN as the s8 chain. ``x``: fp stem+maxpool output. Stage
+    outputs are emitted in the compute dtype; between blocks activations
+    travel as s8 (half the HBM bytes of bf16) with one fused requant per
+    block. Approximate (post-training int8) — serving mode only."""
+    dtype = x.dtype
+    stride_in_1x1 = cfg.MODEL.RESNETS.STRIDE_IN_1X1
+    outputs: Dict[str, jnp.ndarray] = {}
+    s_in = p[f"{prefix}.res2.0.conv1.in_scale"]
+    q = _quant_s8(x, s_in)
+    for stage, name, stride, dil, has_sc, nxt, last in _iter_blocks(
+            cfg, prefix, _num_stages(out_features)):
+        y = _bottleneck_int8(p, name, q, s_in, stride, stride_in_1x1, dil, has_sc)
+        if last and stage in out_features:
+            outputs[stage] = y.astype(dtype)
+        if nxt is not None:
+            s_in = p[f"{nxt}.conv1.in_scale"]
+            q = _quant_s8(y, s_in)
+    return outputs
+
+
+def resnet_int8_scale_sites(cfg, prefix: str = "backbone.bottom_up",
+                            out_features=("res2", "res3", "res4", "res5")):
+    """Ordered activation-scale param names matching
+    ``resnet_int8_calibration``'s output vector, position for position."""
+    sites = [f"{prefix}.res2.0.conv1.in_scale"]
+    for _, name, _, _, _, nxt, _ in _iter_blocks(
+            cfg, prefix, _num_stages(out_features)):
+        sites.append(f"{name}.conv2.in_scale")
+        sites.append(f"{name}.conv3.in_scale")
+        if nxt is not None:
+            sites.append(f"{nxt}.conv1.in_scale")
+    return sites
+
+
+def resnet_int8_calibration(p: Dict, x: jnp.ndarray, cfg,
+                            prefix: str = "backbone.bottom_up",
+                            out_features=("res2", "res3", "res4", "res5")
+                            ) -> jnp.ndarray:
+    """fp pass over the backbone recording each quantization site's max-abs
+    activation (the tensor feeding conv1/conv2/conv3 of every block), in
+    ``resnet_int8_scale_sites`` order. ``x``: preprocessed network input."""
+    stride_in_1x1 = cfg.MODEL.RESNETS.STRIDE_IN_1X1
+    x = jax.nn.relu(_conv_norm(p, f"{prefix}.stem.conv1", x, stride=2, padding=3))
+    x = max_pool2d(x, kernel_size=3, stride=2, padding=1)
+    maxes = [jnp.max(jnp.abs(x.astype(jnp.float32)))]
+    for _, name, stride, dil, has_sc, nxt, _ in _iter_blocks(
+            cfg, prefix, _num_stages(out_features)):
+        s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
+        y1 = jax.nn.relu(_conv_norm(p, f"{name}.conv1", x, stride=s1))
+        maxes.append(jnp.max(jnp.abs(y1.astype(jnp.float32))))
+        y2 = jax.nn.relu(_conv_norm(p, f"{name}.conv2", y1, stride=s3,
+                                    padding=dil, dilation=dil))
+        maxes.append(jnp.max(jnp.abs(y2.astype(jnp.float32))))
+        y3 = _conv_norm(p, f"{name}.conv3", y2)
+        sc = (_conv_norm(p, f"{name}.shortcut", x, stride=stride)
+              if has_sc else x)
+        x = jax.nn.relu(y3 + sc)
+        if nxt is not None:
+            maxes.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    return jnp.stack(maxes)
+
+
 def resnet_forward(
     p: Dict,
     x: jnp.ndarray,
@@ -131,9 +284,11 @@ def resnet_forward(
     x = jax.nn.relu(_conv_norm(p, f"{prefix}.stem.conv1", x, stride=2, padding=3))
     x = max_pool2d(x, kernel_size=3, stride=2, padding=1)
 
+    if int8_backbone_active(p, cfg, prefix):
+        return _resnet_int8_stages(p, x, cfg, prefix, out_features)
+
     outputs: Dict[str, jnp.ndarray] = {}
-    num_stages = max({"res2": 1, "res3": 2, "res4": 3, "res5": 4}.get(f, 0)
-                     for f in out_features)
+    num_stages = _num_stages(out_features)
     for stage_idx in range(num_stages):
         stage_name = f"res{stage_idx + 2}"
         cin, _, cout = chans[stage_idx]

@@ -111,7 +111,9 @@ def conv2d_int8_chain(
     wscale: jnp.ndarray,
     b: Optional[jnp.ndarray],
     *,
+    stride: Union[int, Tuple[int, int]] = 1,
     padding: Union[int, Tuple[int, int]] = 0,
+    dilation: Union[int, Tuple[int, int]] = 1,
     out_scale: Optional[float] = None,
     relu: bool = True,
 ):
@@ -133,15 +135,21 @@ def conv2d_int8_chain(
     With ``out_scale`` set, returns s8 activations at that scale (chain
     link). With ``out_scale=None``, returns f32 (sx*wscale-scaled) values —
     the chain's final layer, ready for the fp predictor.
+
+    ``stride``/``dilation`` mirror conv2d (used by the int8 backbone's
+    stride-2 blocks and res5_dilation configs).
     """
     squeeze = qx.ndim == 3
     if squeeze:
         qx = qx[None]
+    sh, sw_ = _pair(stride)
     ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
     y = jax.lax.conv_general_dilated(
         qx, qw,
-        window_strides=(1, 1),
+        window_strides=(sh, sw_),
         padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dh, dw),
         dimension_numbers=_DIMNUMS,
         preferred_element_type=jnp.int32,
     )

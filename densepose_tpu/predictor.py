@@ -93,8 +93,11 @@ class DensePosePredictor:
         self.bucketed = bool(cfg.TPU.BUCKETED_DENSEPOSE) and cfg.MODEL.DENSEPOSE_ON
         d = cfg.TEST.DETECTIONS_PER_IMAGE
         self.buckets = sorted({b for b in (8, 16, 32, 64) if b < d} | {d})
-        self._int8_needed = (bool(getattr(cfg.TPU, "INT8_HEAD", False))
-                             and cfg.MODEL.DENSEPOSE_ON)
+        self._int8_needed = ((bool(getattr(cfg.TPU, "INT8_HEAD", False))
+                              and cfg.MODEL.DENSEPOSE_ON)
+                             or (bool(getattr(cfg.TPU, "INT8_BACKBONE", False))
+                                 and self.model.resnet_prefix() is not None
+                                 and cfg.MODEL.RESNETS.DEPTH >= 50))
         self._int8_ready = False
 
     def _cast_param(self, name: str, v: np.ndarray):
@@ -125,28 +128,52 @@ class DensePosePredictor:
         Auto-runs on the first frame when TPU.INT8_HEAD is set and this was
         never called; call explicitly with a calibration set for better
         scale coverage."""
-        assert self._int8_needed, "TPU.INT8_HEAD is not enabled"
+        assert self._int8_needed, "no TPU.INT8_* mode is enabled"
+        import re
         from functools import partial
 
         from .ops.conv import quantize_weight_int8
 
         fn = jax.jit(partial(self.model.forward_int8_calibration,
                              compute_dtype=self.compute_dtype))
-        mx = None
+        mx = {}
         for f in frames:
-            m = np.asarray(fn(self.params, jnp.asarray(np.asarray(f))),
-                           dtype=np.float32)
-            mx = m if mx is None else np.maximum(mx, m)
+            m = fn(self.params, jnp.asarray(np.asarray(f)))
+            for k, v in m.items():
+                v = np.asarray(v, dtype=np.float32)
+                mx[k] = v if k not in mx else np.maximum(mx[k], v)
         params = dict(self.params)
-        n = self.cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
-        assert len(mx) == n, (len(mx), n)
-        for i in range(n):
-            nm = f"roi_heads.densepose_head.body_conv_fcn{i + 1}"
-            qw, sw = quantize_weight_int8(params[f"{nm}.weight"])
-            params[f"{nm}.qweight"] = qw
-            params[f"{nm}.wscale"] = sw
-            params[f"{nm}.in_scale"] = jnp.asarray(
-                max(float(mx[i]) / 127.0, 1e-8), jnp.float32)
+        quant_bases = []  # conv names whose .weight gets a qweight/wscale
+        if "head" in mx:
+            n = self.cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
+            assert len(mx["head"]) == n, (len(mx["head"]), n)
+            for i in range(n):
+                nm = f"roi_heads.densepose_head.body_conv_fcn{i + 1}"
+                quant_bases.append(nm)
+                params[f"{nm}.in_scale"] = jnp.asarray(
+                    max(float(mx["head"][i]) / 127.0, 1e-8), jnp.float32)
+        if "backbone" in mx:
+            from .models.resnet import resnet_int8_scale_sites
+            prefix = self.model.resnet_prefix()
+            sites = resnet_int8_scale_sites(self.cfg, prefix)
+            assert len(mx["backbone"]) == len(sites), (
+                len(mx["backbone"]), len(sites))
+            for name, m in zip(sites, mx["backbone"]):
+                params[name] = jnp.asarray(max(float(m) / 127.0, 1e-8),
+                                           jnp.float32)
+            pat = re.compile(re.escape(prefix)
+                             + r"\.res[2-5]\.\d+\.(conv[123]|shortcut)\.weight$")
+            quant_bases += [k[:-len(".weight")] for k in params if pat.match(k)]
+        # quantize every weight in ONE jitted dict->dict call: eager op
+        # dispatch through the axon tunnel is ~seconds per op, and the
+        # backbone alone has ~53 convs (measured: per-conv eager quantization
+        # stalled calibration for many minutes)
+        qfn = jax.jit(lambda ws: {k: quantize_weight_int8(w)
+                                  for k, w in ws.items()})
+        qres = qfn({b: params[f"{b}.weight"] for b in quant_bases})
+        for b, (qw, sw) in qres.items():
+            params[f"{b}.qweight"] = qw
+            params[f"{b}.wscale"] = sw
         self.params = jax.device_put(params)
         # the param pytree changed shape: every cached jit must re-trace
         self._jit_cache.clear()

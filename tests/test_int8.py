@@ -120,3 +120,141 @@ def test_predictor_int8_autocalibration_and_accuracy():
     assert u8.shape == u32.shape
     denom = np.abs(u32).max() + 1e-9
     assert np.max(np.abs(u8 - u32)) / denom < 0.15
+
+
+# ---------------------------------------------------------------------------
+# int8 backbone (TPU.INT8_BACKBONE)
+# ---------------------------------------------------------------------------
+
+def _tiny_r50_cfg():
+    from densepose_tpu.config import get_cfg
+    cfg = get_cfg()
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3"]
+    cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 8
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.MODEL.RESNETS.NUM_GROUPS = 1
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 4
+    cfg.TPU.INT8_BACKBONE = True
+    return cfg
+
+
+def _calibrated_backbone_params(params, x, cfg, prefix, out_features):
+    """Inject scales + qweights exactly the way predictor.calibrate_int8
+    does, but standalone (no predictor), with true maxima from ``x``."""
+    import re
+
+    from densepose_tpu.models.resnet import (resnet_int8_calibration,
+                                             resnet_int8_scale_sites)
+    mx = np.asarray(resnet_int8_calibration(params, x, cfg, prefix,
+                                            out_features))
+    sites = resnet_int8_scale_sites(cfg, prefix, out_features)
+    assert len(mx) == len(sites), (len(mx), len(sites))
+    assert len(sites) == len(set(sites))  # no site collisions
+    p8 = dict(params)
+    for name, m in zip(sites, mx):
+        p8[name] = jnp.asarray(max(float(m) / 127.0, 1e-8), jnp.float32)
+    pat = re.compile(re.escape(prefix)
+                     + r"\.res[2-5]\.\d+\.(conv[123]|shortcut)\.weight$")
+    for k in [k for k in p8 if pat.match(k)]:
+        qw, sw = quantize_weight_int8(p8[k])
+        p8[k[:-len(".weight")] + ".qweight"] = qw
+        p8[k[:-len(".weight")] + ".wscale"] = sw
+    return p8
+
+
+def test_int8_backbone_routing_and_envelope():
+    """resnet_forward keeps the exact fp path until calibrated params exist,
+    then routes to the s8 chain whose features stay inside the documented
+    post-training-quantization envelope."""
+    from densepose_tpu.checkpoint.transform import (random_torch_state,
+                                                    torch_state_to_jax)
+    from densepose_tpu.models.resnet import resnet_forward, resnet_spec
+
+    cfg = _tiny_r50_cfg()
+    prefix = "backbone.bottom_up"
+    out_features = ("res2", "res3")
+    spec = resnet_spec(cfg, prefix)
+    params = {k: jnp.asarray(v) for k, v in
+              torch_state_to_jax(random_torch_state(spec, seed=5), spec).items()}
+    x = jnp.asarray(RNG.randn(64, 96, 3).astype(np.float32))
+
+    want = resnet_forward(params, x, cfg, prefix=prefix,
+                          out_features=out_features)
+    # flag alone (no calibration): bitwise the fp path
+    again = resnet_forward(params, x, cfg, prefix=prefix,
+                           out_features=out_features)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(want[k]), np.asarray(again[k]))
+
+    p8 = _calibrated_backbone_params(params, x, cfg, prefix, out_features)
+    got = resnet_forward(p8, x, cfg, prefix=prefix, out_features=out_features)
+    for k in want:
+        assert got[k].shape == want[k].shape
+        err = _rel_err(np.asarray(got[k], np.float32),
+                       np.asarray(want[k], np.float32))
+        assert err < 0.12, (k, err)
+
+
+def test_int8_backbone_stride_dilation_paths():
+    """res5_dilation=2 config: the dilated stride-1 res5 s8 chain matches
+    the fp path within the envelope (covers stride/dilation in
+    conv2d_int8_chain)."""
+    from densepose_tpu.checkpoint.transform import (random_torch_state,
+                                                    torch_state_to_jax)
+    from densepose_tpu.models.resnet import resnet_forward, resnet_spec
+
+    cfg = _tiny_r50_cfg()
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res5"]
+    cfg.MODEL.RESNETS.RES5_DILATION = 2
+    prefix = "backbone"
+    out_features = ("res5",)
+    spec = resnet_spec(cfg, prefix)
+    params = {k: jnp.asarray(v) for k, v in
+              torch_state_to_jax(random_torch_state(spec, seed=7), spec).items()}
+    x = jnp.asarray(RNG.randn(64, 64, 3).astype(np.float32))
+
+    want = resnet_forward(params, x, cfg, prefix=prefix,
+                          out_features=out_features)
+    p8 = _calibrated_backbone_params(params, x, cfg, prefix, out_features)
+    got = resnet_forward(p8, x, cfg, prefix=prefix, out_features=out_features)
+    for k in want:
+        assert got[k].shape == want[k].shape
+        err = _rel_err(np.asarray(got[k], np.float32),
+                       np.asarray(want[k], np.float32))
+        assert err < 0.2, (k, err)
+
+
+def test_predictor_int8_backbone_autocalibration():
+    """TPU.INT8_BACKBONE end to end on a tiny zoo model: first __call__
+    calibrates (backbone qweight/in_scale params appear) and inference
+    stays finite/sane. Detections are NOT asserted equal to fp — the box
+    stage consumes the quantized features (documented)."""
+    from densepose_tpu import model_zoo
+    from densepose_tpu.predictor import DensePosePredictor
+
+    TINY = [
+        "INPUT.MIN_SIZE_TEST", "64",
+        "INPUT.MAX_SIZE_TEST", "128",
+        "MODEL.RPN.PRE_NMS_TOPK_TEST", "100",
+        "MODEL.RPN.POST_NMS_TOPK_TEST", "40",
+        "TEST.DETECTIONS_PER_IMAGE", "3",
+        "TPU.INT8_BACKBONE", "True",
+    ]
+    img = (np.random.RandomState(3).rand(48, 64, 3) * 255).astype(np.uint8)
+
+    cfg = model_zoo.get_config("densepose_rcnn_R_50_FPN_s1x").clone()
+    cfg.defrost()
+    cfg.merge_from_list(TINY)
+    cfg.freeze()
+    pred = DensePosePredictor(cfg, seed=0)
+    assert pred._int8_needed and not pred._int8_ready
+    got = pred.predict_numpy(img)
+    assert pred._int8_ready
+    assert "backbone.bottom_up.res2.0.conv1.qweight" in pred.params
+    assert "backbone.bottom_up.res2.0.conv1.in_scale" in pred.params
+    assert "backbone.bottom_up.res5.2.conv3.wscale" in pred.params
+    # head int8 was NOT requested: no head scales injected
+    assert "roi_heads.densepose_head.body_conv_fcn1.qweight" not in pred.params
+    assert np.isfinite(np.asarray(got["pred_boxes"], np.float32)).all()
+    assert np.isfinite(np.asarray(got["scores"], np.float32)).all()

@@ -22,7 +22,8 @@ sys.path.insert(0, REPO)
 CFG = "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml"
 
 
-def measure(env: dict, frames, warm, iters: int, passes: int = 3) -> dict:
+def measure(env: dict, frames, warm, iters: int, passes: int = 3,
+            opts=()) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -39,8 +40,11 @@ def measure(env: dict, frames, warm, iters: int, passes: int = 3) -> dict:
     cfg = load_config(CFG, [
         "MODEL.ROI_HEADS.SCORE_THRESH_TEST", "0.3",
         "TPU.COMPUTE_DTYPE", "bfloat16",
-    ])
+    ] + list(opts))
     pred = DensePosePredictor(cfg, seed=0)
+    if pred._int8_needed:
+        # this harness bypasses __call__ (which would auto-calibrate)
+        pred.calibrate_int8([np.asarray(warm)])
     fn = pred._get_fn((720, 1280))
 
     @jax.jit
@@ -80,16 +84,22 @@ def main():
     jax.block_until_ready(frames)
 
     variants = [
-        ("matmul", {"DENSEPOSE_TPU_MATMUL_POOLER": "1"}),
-        ("levelsorted", {"DENSEPOSE_TPU_MATMUL_POOLER": None}),
+        ("matmul", {"DENSEPOSE_TPU_MATMUL_POOLER": "1"}, ()),
+        ("levelsorted", {"DENSEPOSE_TPU_MATMUL_POOLER": None}, ()),
     ]
     if len(sys.argv) > 2 and sys.argv[2] == "decoder":
         variants = [
-            ("perchain-up", {"DENSEPOSE_TPU_DECODER_PERCHAIN_UP": "1"}),
-            ("shared-up", {"DENSEPOSE_TPU_DECODER_PERCHAIN_UP": None}),
+            ("perchain-up", {"DENSEPOSE_TPU_DECODER_PERCHAIN_UP": "1"}, ()),
+            ("shared-up", {"DENSEPOSE_TPU_DECODER_PERCHAIN_UP": None}, ()),
         ]
-    for name, env in variants:
-        r = measure(env, frames, warm, iters)
+    if len(sys.argv) > 2 and sys.argv[2] == "int8bb":
+        variants = [
+            ("int8-head", {}, ("TPU.INT8_HEAD", "True")),
+            ("int8-head+bb", {}, ("TPU.INT8_HEAD", "True",
+                                  "TPU.INT8_BACKBONE", "True")),
+        ]
+    for name, env, opts in variants:
+        r = measure(env, frames, warm, iters, opts=opts)
         print(f"{name:12s} {r['fps']:7.2f} fps  {r['ms']:6.1f} ms/frame  "
               f"passes={r['passes_s']}  compile={r['compile_s']}s",
               flush=True)
