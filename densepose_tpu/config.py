@@ -486,13 +486,18 @@ def _detectron2_defaults() -> CfgNode:
     # faster head on v5e). Post-training quantization — approximate; OFF by
     # default to keep the reference's bf16/fp32 numerics.
     _C.TPU.INT8_HEAD = False
-    # int8 serving mode for the ResNet bottleneck stages (R50+): statically
-    # calibrated s8 chain with s32 bias+ReLU inside each block, s8
-    # activations between blocks (models/resnet.py::_resnet_int8_stages).
+    # int8 serving mode for the ResNet bottleneck stages (R50+) and the 3x3
+    # FPN output convs: statically calibrated s8 chains with s32 bias+ReLU,
+    # s8 activations between backbone blocks
+    # (models/resnet.py::_resnet_int8_stages, models/fpn.py::_fpn_levels).
     # Approximate AND detection-affecting (the box stage consumes int8
     # features), so OFF by default and separate from INT8_HEAD, which keeps
     # detections exact.
     _C.TPU.INT8_BACKBONE = False
+    # int8 serving mode for the shared 3x3 RPN head conv (per-level
+    # calibrated input scales; FPN backbones only). Same caveats as
+    # INT8_BACKBONE.
+    _C.TPU.INT8_RPN = False
     return _C
 
 

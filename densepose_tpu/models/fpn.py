@@ -48,11 +48,22 @@ def fpn_spec(cfg, prefix: str = "backbone") -> Spec:
     return spec
 
 
+def fpn_int8_active(p, cfg, prefix: str = "backbone") -> bool:
+    """Serving-mode int8 for the 3x3 FPN output convs: TPU.INT8_BACKBONE
+    opted in, calibrated qweights present, and the shipped norm-free conv
+    form (a normed FPN keeps the fp path)."""
+    s0 = _STAGE_LOG2[cfg.MODEL.FPN.IN_FEATURES[0]]
+    return (bool(getattr(cfg.TPU, "INT8_BACKBONE", False))
+            and f"{prefix}.fpn_output{s0}.qweight" in p
+            and f"{prefix}.fpn_output{s0}.norm.weight" not in p)
+
+
 def _fpn_levels(p, x, cfg, prefix) -> "tuple[Dict, Dict]":
     """Shared lateral/top-down/output pass; returns (p-levels, bottom_up)."""
     in_features: List[str] = list(cfg.MODEL.FPN.IN_FEATURES)
     bottom_up = resnet_forward(p, x, cfg, prefix=f"{prefix}.bottom_up",
                                out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES))
+    int8 = fpn_int8_active(p, cfg, prefix)
 
     results: Dict[str, jnp.ndarray] = {}
     # top-down pass (highest stage first), fpn.py:144-166
@@ -64,10 +75,63 @@ def _fpn_levels(p, x, cfg, prefix) -> "tuple[Dict, Dict]":
         if prev is not None:
             lateral = lateral + upsample2x_nearest(prev)
         prev = lateral
+        if int8:
+            from ..ops.conv import conv2d_int8_chain
+            from .resnet import _quant_s8
+            nm = f"{prefix}.fpn_output{stage}"
+            out = conv2d_int8_chain(
+                _quant_s8(prev, p[f"{nm}.in_scale"]), p[f"{nm}.in_scale"],
+                p[f"{nm}.qweight"], p[f"{nm}.wscale"], p.get(f"{nm}.bias"),
+                padding=1, relu=False, out_scale=None)
+            results[f"p{stage}"] = out.astype(prev.dtype)
+        else:
+            results[f"p{stage}"] = conv2d(
+                prev, p[f"{prefix}.fpn_output{stage}.weight"],
+                p.get(f"{prefix}.fpn_output{stage}.bias"), padding=1)
+    return results, bottom_up
+
+
+def fpn_int8_scale_sites(cfg, prefix: str = "backbone",
+                         rpn_prefix: str = "proposal_generator.rpn_head"):
+    """(fpn_sites, rpn_sites) param names matching ``fpn_int8_calibration``'s
+    output vector order: output-conv input scales in top-down (reversed
+    in_features) order, then the RPN head conv's per-level input scales in
+    cfg.MODEL.RPN.IN_FEATURES order."""
+    in_features = list(cfg.MODEL.FPN.IN_FEATURES)
+    fpn_sites = [f"{prefix}.fpn_output{_STAGE_LOG2[f]}.in_scale"
+                 for f in reversed(in_features)]
+    rpn_sites = [f"{rpn_prefix}.conv.in_scale_{f}"
+                 for f in cfg.MODEL.RPN.IN_FEATURES]
+    return fpn_sites, rpn_sites
+
+
+def fpn_int8_calibration(p, x, cfg, prefix: str = "backbone") -> jnp.ndarray:
+    """fp pass recording the FPN output convs' input maxima and the RPN
+    features' maxima (p6 computed exactly from the pooled p5), in
+    ``fpn_int8_scale_sites`` order. ``x``: preprocessed network input."""
+    in_features: List[str] = list(cfg.MODEL.FPN.IN_FEATURES)
+    bottom_up = resnet_forward(p, x, cfg, prefix=f"{prefix}.bottom_up",
+                               out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES))
+    results: Dict[str, jnp.ndarray] = {}
+    maxes = []
+    prev = None
+    for f in reversed(in_features):
+        stage = _STAGE_LOG2[f]
+        lateral = conv2d(bottom_up[f], p[f"{prefix}.fpn_lateral{stage}.weight"],
+                         p.get(f"{prefix}.fpn_lateral{stage}.bias"))
+        if prev is not None:
+            lateral = lateral + upsample2x_nearest(prev)
+        prev = lateral
+        maxes.append(jnp.max(jnp.abs(prev.astype(jnp.float32))))
         results[f"p{stage}"] = conv2d(
             prev, p[f"{prefix}.fpn_output{stage}.weight"],
             p.get(f"{prefix}.fpn_output{stage}.bias"), padding=1)
-    return results, bottom_up
+    top = _STAGE_LOG2[in_features[-1]]
+    results[f"p{top + 1}"] = max_pool2d(results[f"p{top}"],
+                                        kernel_size=1, stride=2)
+    for f in cfg.MODEL.RPN.IN_FEATURES:
+        maxes.append(jnp.max(jnp.abs(results[f].astype(jnp.float32))))
+    return jnp.stack(maxes)
 
 
 def fpn_forward(

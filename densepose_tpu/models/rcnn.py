@@ -203,6 +203,13 @@ class GeneralizedRCNN:
             h0, w0 = image_u8.shape[0], image_u8.shape[1]
             x, _, _ = self.preprocess(image_u8, (h0, w0), compute_dtype)
             out["backbone"] = resnet_int8_calibration(params, x, cfg, prefix)
+        if ((getattr(cfg.TPU, "INT8_BACKBONE", False)
+             or getattr(cfg.TPU, "INT8_RPN", False))
+                and cfg.MODEL.BACKBONE.NAME == "build_resnet_fpn_backbone"):
+            from .fpn import fpn_int8_calibration
+            h0, w0 = image_u8.shape[0], image_u8.shape[1]
+            x, _, _ = self.preprocess(image_u8, (h0, w0), compute_dtype)
+            out["fpn"] = fpn_int8_calibration(params, x, cfg)
         return out
 
     def forward_densepose_switched(self, params: Dict, features: Dict,

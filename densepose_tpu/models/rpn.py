@@ -82,11 +82,25 @@ def rpn_forward(
         cfg.MODEL.ANCHOR_GENERATOR.SIZES, cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS,
         cfg.MODEL.ANCHOR_GENERATOR.OFFSET)
 
+    # serving-mode int8 for the shared 3x3 head conv (per-level calibrated
+    # input scales; the tiny 1x1 logit/delta convs stay fp)
+    int8 = (bool(getattr(cfg.TPU, "INT8_RPN", False))
+            and f"{prefix}.conv.qweight" in p)
+
     lvl_boxes, lvl_scores, lvl_valid = [], [], []
     max_k = max(min(a.shape[0], pre_topk) for a in anchors)
-    for feat, anc in zip(feats, anchors):
-        t = jax.nn.relu(conv2d(feat, p[f"{prefix}.conv.weight"],
-                               p[f"{prefix}.conv.bias"], padding=1))
+    for fname, feat, anc in zip(in_features, feats, anchors):
+        if int8:
+            from ..ops.conv import conv2d_int8_chain
+            from .resnet import _quant_s8
+            s_in = p[f"{prefix}.conv.in_scale_{fname}"]
+            t = conv2d_int8_chain(
+                _quant_s8(feat, s_in), s_in, p[f"{prefix}.conv.qweight"],
+                p[f"{prefix}.conv.wscale"], p[f"{prefix}.conv.bias"],
+                padding=1, relu=True, out_scale=None).astype(feat.dtype)
+        else:
+            t = jax.nn.relu(conv2d(feat, p[f"{prefix}.conv.weight"],
+                                   p[f"{prefix}.conv.bias"], padding=1))
         logits = conv2d(t, p[f"{prefix}.objectness_logits.weight"],
                         p[f"{prefix}.objectness_logits.bias"])
         deltas = conv2d(t, p[f"{prefix}.anchor_deltas.weight"],

@@ -97,7 +97,10 @@ class DensePosePredictor:
                               and cfg.MODEL.DENSEPOSE_ON)
                              or (bool(getattr(cfg.TPU, "INT8_BACKBONE", False))
                                  and self.model.resnet_prefix() is not None
-                                 and cfg.MODEL.RESNETS.DEPTH >= 50))
+                                 and cfg.MODEL.RESNETS.DEPTH >= 50)
+                             or (bool(getattr(cfg.TPU, "INT8_RPN", False))
+                                 and cfg.MODEL.BACKBONE.NAME
+                                 == "build_resnet_fpn_backbone"))
         self._int8_ready = False
 
     def _cast_param(self, name: str, v: np.ndarray):
@@ -164,6 +167,23 @@ class DensePosePredictor:
             pat = re.compile(re.escape(prefix)
                              + r"\.res[2-5]\.\d+\.(conv[123]|shortcut)\.weight$")
             quant_bases += [k[:-len(".weight")] for k in params if pat.match(k)]
+        if "fpn" in mx:
+            from .models.fpn import fpn_int8_scale_sites
+            fpn_sites, rpn_sites = fpn_int8_scale_sites(self.cfg)
+            assert len(mx["fpn"]) == len(fpn_sites) + len(rpn_sites), (
+                len(mx["fpn"]), len(fpn_sites), len(rpn_sites))
+            fvals = mx["fpn"][:len(fpn_sites)]
+            rvals = mx["fpn"][len(fpn_sites):]
+            if getattr(self.cfg.TPU, "INT8_BACKBONE", False):
+                for name, m in zip(fpn_sites, fvals):
+                    params[name] = jnp.asarray(max(float(m) / 127.0, 1e-8),
+                                               jnp.float32)
+                quant_bases += [s[:-len(".in_scale")] for s in fpn_sites]
+            if getattr(self.cfg.TPU, "INT8_RPN", False):
+                for name, m in zip(rpn_sites, rvals):
+                    params[name] = jnp.asarray(max(float(m) / 127.0, 1e-8),
+                                               jnp.float32)
+                quant_bases.append("proposal_generator.rpn_head.conv")
         # quantize every weight in ONE jitted dict->dict call: eager op
         # dispatch through the axon tunnel is ~seconds per op, and the
         # backbone alone has ~53 convs (measured: per-conv eager quantization

@@ -258,3 +258,81 @@ def test_predictor_int8_backbone_autocalibration():
     assert "roi_heads.densepose_head.body_conv_fcn1.qweight" not in pred.params
     assert np.isfinite(np.asarray(got["pred_boxes"], np.float32)).all()
     assert np.isfinite(np.asarray(got["scores"], np.float32)).all()
+
+
+def test_int8_fpn_output_convs_envelope():
+    """FPN output convs route to the s8 form once calibrated (under
+    TPU.INT8_BACKBONE) and stay within the PTQ envelope of the fp FPN."""
+    from densepose_tpu.checkpoint.transform import (random_torch_state,
+                                                    torch_state_to_jax)
+    from densepose_tpu.models.fpn import (fpn_forward, fpn_int8_calibration,
+                                          fpn_int8_scale_sites, fpn_spec)
+
+    cfg = _tiny_r50_cfg()
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 16
+    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    spec = fpn_spec(cfg)
+    params = {k: jnp.asarray(v) for k, v in
+              torch_state_to_jax(random_torch_state(spec, seed=9), spec).items()}
+    x = jnp.asarray(RNG.randn(64, 96, 3).astype(np.float32))
+
+    want = fpn_forward(params, x, cfg)
+
+    mx = np.asarray(fpn_int8_calibration(params, x, cfg))
+    fpn_sites, rpn_sites = fpn_int8_scale_sites(cfg)
+    assert len(mx) == len(fpn_sites) + len(rpn_sites)
+    p8 = dict(params)
+    for name, m in zip(fpn_sites, mx):
+        p8[name] = jnp.asarray(max(float(m) / 127.0, 1e-8), jnp.float32)
+    for s in fpn_sites:
+        base = s[:-len(".in_scale")]
+        qw, sw = quantize_weight_int8(p8[f"{base}.weight"])
+        p8[f"{base}.qweight"] = qw
+        p8[f"{base}.wscale"] = sw
+    got = fpn_forward(p8, x, cfg)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].shape == want[k].shape
+        err = _rel_err(np.asarray(got[k], np.float32),
+                       np.asarray(want[k], np.float32))
+        assert err < 0.05, (k, err)
+
+
+def test_predictor_int8_full_serving_stack():
+    """INT8_BACKBONE + INT8_RPN + INT8_HEAD together on a tiny zoo model:
+    calibration injects backbone, FPN, RPN and head quantization params and
+    inference stays finite."""
+    from densepose_tpu import model_zoo
+    from densepose_tpu.predictor import DensePosePredictor
+
+    TINY = [
+        "INPUT.MIN_SIZE_TEST", "64",
+        "INPUT.MAX_SIZE_TEST", "128",
+        "MODEL.RPN.PRE_NMS_TOPK_TEST", "100",
+        "MODEL.RPN.POST_NMS_TOPK_TEST", "40",
+        "TEST.DETECTIONS_PER_IMAGE", "3",
+        "TPU.INT8_HEAD", "True",
+        "TPU.INT8_BACKBONE", "True",
+        "TPU.INT8_RPN", "True",
+    ]
+    img = (np.random.RandomState(3).rand(48, 64, 3) * 255).astype(np.uint8)
+
+    cfg = model_zoo.get_config("densepose_rcnn_R_50_FPN_s1x").clone()
+    cfg.defrost()
+    cfg.merge_from_list(TINY)
+    cfg.freeze()
+    pred = DensePosePredictor(cfg, seed=0)
+    got = pred.predict_numpy(img)
+    assert pred._int8_ready
+    for key in ("backbone.bottom_up.res3.1.conv2.qweight",
+                "backbone.fpn_output2.qweight",
+                "backbone.fpn_output5.in_scale",
+                "proposal_generator.rpn_head.conv.qweight",
+                "proposal_generator.rpn_head.conv.in_scale_p2",
+                "proposal_generator.rpn_head.conv.in_scale_p6",
+                "roi_heads.densepose_head.body_conv_fcn1.qweight"):
+        assert key in pred.params, key
+    assert np.isfinite(np.asarray(got["pred_boxes"], np.float32)).all()
+    assert np.isfinite(np.asarray(got["scores"], np.float32)).all()

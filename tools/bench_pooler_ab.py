@@ -97,6 +97,9 @@ def main():
             ("int8-head", {}, ("TPU.INT8_HEAD", "True")),
             ("int8-head+bb", {}, ("TPU.INT8_HEAD", "True",
                                   "TPU.INT8_BACKBONE", "True")),
+            ("int8-all", {}, ("TPU.INT8_HEAD", "True",
+                              "TPU.INT8_BACKBONE", "True",
+                              "TPU.INT8_RPN", "True")),
         ]
     for name, env, opts in variants:
         r = measure(env, frames, warm, iters, opts=opts)
