@@ -336,34 +336,55 @@ def roi_align_multilevel_levelsorted(
     sampling_ratio: int,
     aligned: bool,
     chunk: int = 128,
+    window: int = 128,
 ) -> jnp.ndarray:
-    """Separable-matmul multi-level ROIAlign with level-sorted chunks.
+    """Separable-matmul multi-level ROIAlign with level-sorted chunks and
+    x-windowed wide levels.
 
-    The plain matmul pooler contracts EVERY chunk of boxes against EVERY
-    pyramid level and mask-selects — 4x the necessary einsum FLOPs and HBM
-    traffic for a 4-level pyramid. Sorting boxes by assigned level first
-    makes each chunk's level set nearly always a single level (at most the
-    3 chunk-boundary chunks span two), so a per-(chunk, level)
-    ``lax.cond`` skips the absent levels entirely: weight build, both
-    einsums and the select all vanish for levels no box in the chunk uses.
-    TPU executes only the taken branch of a conditional, so the skipped
-    work costs nothing but a predicate.
+    Two stacked schedule optimizations over the plain matmul pooler:
 
-    Per-box results are the SAME einsums over the same operand rows as
-    roi_align_multilevel_matmul, scattered back to the caller's box order;
-    chunk composition and the cond wrapper shift einsum codegen/tiling, so
-    equality is reassociation-level (within the pooler's existing float
-    noise), not bitwise. The sort key is the level only (stable), so
-    within a level the caller's score-descending order is preserved.
+    * **Level sort + cond-skip** — the plain pooler contracts EVERY chunk
+      of boxes against EVERY pyramid level and mask-selects: 4x the
+      necessary einsum FLOPs and HBM traffic for a 4-level pyramid.
+      Sorting boxes by (assigned level, x1) makes each chunk's level set
+      nearly always a single level, so a per-(chunk, level) ``lax.cond``
+      skips the absent levels entirely — TPU executes only the taken
+      branch of a conditional.
+    * **Column windows on wide levels** — an FPN-assigned box spans at
+      most ~28*sqrt(aspect) feature columns, so within an x-sorted chunk
+      the nonzero Wx columns cluster. For levels wider than ``window``
+      the chunk pools from a ``window``-column ``dynamic_slice`` — exact,
+      since the dropped columns carry exactly zero weight — with a
+      per-chunk cond fallback to the full width when a chunk's nonzero
+      columns do not fit (wide/elongated boxes). Windowing also flips the
+      bandwidth-optimal contraction order: at full width the X-first
+      intermediate (chunk, H, out_w, C) is smaller, but with W cut to
+      ``window`` the Y-first intermediate (chunk, out_h, window, C) wins
+      (58 vs 92 MB per 128-chunk on an 800px P2) and stage 1 drops to
+      ~window/W of its FLOPs.
+
+    Per-box results are the SAME tap weights over the same operand rows
+    as roi_align_multilevel_matmul, scattered back to the caller's box
+    order; chunk composition, the cond wrappers and the per-branch
+    contraction order shift einsum codegen/tiling, so equality is
+    reassociation-level (within the pooler's existing float noise), not
+    bitwise.
     """
     assert sampling_ratio > 0
+    import os
+    if os.environ.get("DENSEPOSE_TPU_LS_NOWINDOW"):
+        window = 1 << 30   # A/B knob: pure level-sort, no column windows
     m = boxes.shape[0]
     out_h, out_w = output_size
     c = feats[0].shape[-1]
     dtype = feats[0].dtype
+    boxes = boxes.astype(jnp.float32)
+    offset = 0.5 if aligned else 0.0
 
-    order = jnp.argsort(levels, stable=True)
-    inv = jnp.argsort(order, stable=True)
+    # sort by (level, x-start) so chunks are single-level AND x-clustered
+    key = levels.astype(jnp.float32) * 1e7 + jnp.clip(boxes[:, 0], 0.0, 1e6)
+    order = jnp.argsort(key)
+    inv = jnp.argsort(order)
     b_s = boxes[order]
     lv_s = levels[order]
 
@@ -377,10 +398,51 @@ def roi_align_multilevel_levelsorted(
             present = jnp.any(lv == li)
 
             def pool(acc, b=b, lv=lv, f=f, sc=sc, li=li):
-                pooled = roi_align_single_matmul(
-                    f, b, sc, output_size, sampling_ratio, aligned)
-                sel = (lv == li).astype(pooled.dtype)[:, None, None, None]
-                return acc + pooled * sel
+                h, w = f.shape[0], f.shape[1]
+                start_w = b[:, 0] * sc - offset
+                start_h = b[:, 1] * sc - offset
+                roi_w = b[:, 2] * sc - offset - start_w
+                roi_h = b[:, 3] * sc - offset - start_h
+                if not aligned:
+                    roi_w = jnp.maximum(roi_w, 1.0)
+                    roi_h = jnp.maximum(roi_h, 1.0)
+                wy = _axis_weights(start_h, roi_h / out_h, out_h,
+                                   sampling_ratio, h).astype(dtype)
+                wx = _axis_weights(start_w, roi_w / out_w, out_w,
+                                   sampling_ratio, w).astype(dtype)
+                # zero other-level rows: their pooled output becomes exactly
+                # 0 and their columns don't widen the window span
+                sel = (lv == li).astype(dtype)
+                wx = wx * sel[:, None, None]
+
+                def full(_, wy=wy, wx=wx, f=f):
+                    # X-first: smaller intermediate at full width
+                    cols = jnp.einsum("mxw,hwc->mhxc", wx, f,
+                                      preferred_element_type=f.dtype)
+                    return jnp.einsum("myh,mhxc->myxc", wy, cols,
+                                      preferred_element_type=jnp.float32)
+
+                if w <= window:
+                    pooled = full(None)
+                else:
+                    colnz = (wx != 0).any(axis=(0, 1))          # (W,)
+                    idx = jnp.arange(w)
+                    first = jnp.min(jnp.where(colnz, idx, w))
+                    last = jnp.max(jnp.where(colnz, idx, -1))
+                    w_lo = jnp.clip(first, 0, w - window)
+                    fits = (last - w_lo) < window
+
+                    def narrow(_, wy=wy, wx=wx, f=f, w_lo=w_lo):
+                        fw = jax.lax.dynamic_slice(
+                            f, (0, w_lo, 0), (f.shape[0], window, c))
+                        wxw = jax.lax.dynamic_slice(
+                            wx, (0, 0, w_lo), (wx.shape[0], out_w, window))
+                        # Y-first: with W cut to `window` its intermediate
+                        # is the smaller one
+                        return _pair_einsums_yfirst(wy, wxw, fw)
+
+                    pooled = jax.lax.cond(fits, narrow, full, None)
+                return acc + pooled.astype(dtype)
 
             acc = jax.lax.cond(present, pool, lambda a: a, acc)
         outs.append(acc)

@@ -24,6 +24,17 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    # Honor a CPU request through jax.config too: jax may already be
+    # imported by the interpreter startup, and the config route also keeps
+    # a CPU-only run from ever touching the TPU plugin's device claim
+    # (mirrors run.py --cpu).
+    import jax  # noqa: E402
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 import numpy as np  # noqa: E402
 
 

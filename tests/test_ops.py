@@ -500,6 +500,39 @@ def test_roi_align_levelsorted_matches_matmul():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_roi_align_levelsorted_windowed_branch():
+    """The column-window branch of the level-sorted pooler (levels wider
+    than ``window``): narrow chunks pool from a dynamic slice (Y-first
+    einsums), an elongated box overflowing the window takes the cond
+    fallback, results still match the plain matmul pooler in caller box
+    order."""
+    from densepose_tpu.ops.roi_align import (assign_boxes_to_levels,
+                                             roi_align_multilevel_levelsorted,
+                                             roi_align_multilevel_matmul)
+    feats = [jnp.asarray(RNG.randn(32 // (2 ** i), 40 // (2 ** i), 8)
+                         .astype(np.float32)) for i in range(4)]
+    scales = [0.25 / (2 ** i) for i in range(4)]
+    boxes = (RNG.rand(21, 4) * np.array([80, 60, 80, 60])).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + np.abs(boxes[:, 2:]) * 0.2 + 6
+    boxes[0] = [0.0, 10.0, 158.0, 14.0]   # elongated: overflows the window
+    b = jnp.asarray(boxes)
+    lv = assign_boxes_to_levels(b, 2, 5)
+    want = roi_align_multilevel_matmul(feats, b, lv, scales, (7, 7), 2, False)
+    got = roi_align_multilevel_levelsorted(feats, b, lv, scales, (7, 7), 2,
+                                           False, chunk=8, window=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    # bf16 feats through the same routing (the production dtype)
+    feats16 = [f.astype(jnp.bfloat16) for f in feats]
+    want16 = roi_align_multilevel_matmul(feats16, b, lv, scales, (7, 7), 2,
+                                         False)
+    got16 = roi_align_multilevel_levelsorted(feats16, b, lv, scales, (7, 7),
+                                             2, False, chunk=8, window=16)
+    np.testing.assert_allclose(
+        np.asarray(got16, np.float32), np.asarray(want16, np.float32),
+        atol=2e-2, rtol=2e-2)
+
+
 def test_roi_align_multilevel_vmap_routing(monkeypatch):
     """Under vmap the TPU multi-level routing must take the matmul path
     (cond-under-vmap executes both branches, making the level-sorted skip

@@ -92,6 +92,11 @@ def main():
             ("perchain-up", {"DENSEPOSE_TPU_DECODER_PERCHAIN_UP": "1"}, ()),
             ("shared-up", {"DENSEPOSE_TPU_DECODER_PERCHAIN_UP": None}, ()),
         ]
+    if len(sys.argv) > 2 and sys.argv[2] == "lswin":
+        variants = [
+            ("ls-nowindow", {"DENSEPOSE_TPU_LS_NOWINDOW": "1"}, ()),
+            ("ls-windowed", {"DENSEPOSE_TPU_LS_NOWINDOW": None}, ()),
+        ]
     if len(sys.argv) > 2 and sys.argv[2] == "int8bb":
         variants = [
             ("int8-head", {}, ("TPU.INT8_HEAD", "True")),
