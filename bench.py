@@ -41,12 +41,36 @@ timing lies in BOTH directions):
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_FPS = 1.0 / 0.066  # R_50_FPN_s1x, BASELINE.md
+
+# Written after every successful run; replayed (marked "stale": true) when
+# the chip is unreachable, because a dead tunnel otherwise HANGS the first
+# device touch forever (the axon plugin retries in a silent nanosleep loop
+# with no timeout — observed r2, outage >3h) and the round would record
+# nothing at all.
+LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_last.json")
+
+
+def chip_reachable(timeout_s: float = 120.0) -> bool:
+    """Probe the device in a THROWAWAY subprocess. In-process probing is
+    impossible: a hung device touch cannot be cancelled from Python."""
+    code = ("import jax, jax.numpy as jnp;"
+            "y=(jnp.ones((128,128))@jnp.ones((128,128))).sum();"
+            "assert float(y)==128.0*128")
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 CFG_PATH = "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml"
 
@@ -149,6 +173,24 @@ def measure_sparse_fps(pred, frames, aux_frames, iters):
 
 
 def main():
+    if not os.environ.get("BENCH_SKIP_PROBE") and not chip_reachable():
+        # Chip unreachable: replay the last recorded measurement rather than
+        # hanging. The stale flag + timestamp make the provenance explicit.
+        try:
+            with open(LAST_GOOD) as f:
+                rec = json.load(f)
+        except OSError:
+            rec = {"metric": "frames_per_sec_per_chip", "value": 0.0,
+                   "unit": "fps", "vs_baseline": 0.0}
+        rec["stale"] = True
+        rec["stale_reason"] = ("TPU tunnel unreachable (probe matmul timed "
+                               "out); value is the most recent successful "
+                               "on-chip measurement, not a fresh run")
+        print(json.dumps(rec))
+        print("# CHIP UNREACHABLE — replayed last recorded measurement from "
+              f"{LAST_GOOD}", file=sys.stderr)
+        return
+
     import jax
     import numpy as np
 
@@ -195,6 +237,13 @@ def main():
         "passes_s": [round(t, 3) for t in passes],
         "fps_median_pass": round(iters / sorted(passes)[len(passes) // 2], 2),
     }
+    result["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    try:
+        with open(LAST_GOOD, "w") as f:
+            json.dump(result, f)
+            f.write("\n")
+    except OSError:
+        pass
     print(json.dumps(result))
     print(f"# exact bf16 mode: {1e3 / fps_exact:.1f} ms/frame "
           f"({fps_exact:.2f} fps) | int8-head serving mode: "
