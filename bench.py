@@ -63,7 +63,7 @@ def chip_reachable(timeout_s: float = 120.0) -> bool:
     impossible: a hung device touch cannot be cancelled from Python."""
     code = ("import jax, jax.numpy as jnp;"
             "y=(jnp.ones((128,128))@jnp.ones((128,128))).sum();"
-            "assert float(y)==128.0*128")
+            "assert float(y)==128.0**3, float(y)")
     try:
         return subprocess.run(
             [sys.executable, "-c", code], timeout=timeout_s,
@@ -179,7 +179,7 @@ def main():
         try:
             with open(LAST_GOOD) as f:
                 rec = json.load(f)
-        except OSError:
+        except (OSError, ValueError):
             rec = {"metric": "frames_per_sec_per_chip", "value": 0.0,
                    "unit": "fps", "vs_baseline": 0.0}
         rec["stale"] = True
@@ -239,9 +239,11 @@ def main():
     }
     result["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     try:
-        with open(LAST_GOOD, "w") as f:
+        tmp = LAST_GOOD + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(result, f)
             f.write("\n")
+        os.replace(tmp, LAST_GOOD)
     except OSError:
         pass
     print(json.dumps(result))

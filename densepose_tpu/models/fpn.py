@@ -77,10 +77,10 @@ def _fpn_levels(p, x, cfg, prefix) -> "tuple[Dict, Dict]":
         prev = lateral
         if int8:
             from ..ops.conv import conv2d_int8_chain
-            from .resnet import _quant_s8
+            from ..ops.conv import quant_act_s8
             nm = f"{prefix}.fpn_output{stage}"
             out = conv2d_int8_chain(
-                _quant_s8(prev, p[f"{nm}.in_scale"]), p[f"{nm}.in_scale"],
+                quant_act_s8(prev, p[f"{nm}.in_scale"]), p[f"{nm}.in_scale"],
                 p[f"{nm}.qweight"], p[f"{nm}.wscale"], p.get(f"{nm}.bias"),
                 padding=1, relu=False, out_scale=None)
             results[f"p{stage}"] = out.astype(prev.dtype)

@@ -150,11 +150,6 @@ def _iter_blocks(cfg, prefix: str, num_stages: int):
         yield stage, name, stride, dil, sc, nxt, last
 
 
-def _quant_s8(x: jnp.ndarray, scale) -> jnp.ndarray:
-    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127
-                    ).astype(jnp.int8)
-
-
 def _bottleneck_int8(p: Dict, name: str, q: jnp.ndarray, s_in,
                      stride: int, stride_in_1x1: bool, dilation: int,
                      has_shortcut: bool) -> jnp.ndarray:
@@ -166,7 +161,7 @@ def _bottleneck_int8(p: Dict, name: str, q: jnp.ndarray, s_in,
     f32 and the caller requantizes to the next block's input scale. FrozenBN
     is already folded into weights/bias at load time, so the fp block is a
     pure conv+bias chain and quantizes without norm special cases."""
-    from ..ops.conv import conv2d_int8_chain
+    from ..ops.conv import conv2d_int8_chain, quant_act_s8
     s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
     q1 = conv2d_int8_chain(
         q, s_in, p[f"{name}.conv1.qweight"], p[f"{name}.conv1.wscale"],
@@ -209,11 +204,12 @@ def _resnet_int8_stages(p: Dict, x: jnp.ndarray, cfg, prefix: str,
     outputs are emitted in the compute dtype; between blocks activations
     travel as s8 (half the HBM bytes of bf16) with one fused requant per
     block. Approximate (post-training int8) — serving mode only."""
+    from ..ops.conv import quant_act_s8
     dtype = x.dtype
     stride_in_1x1 = cfg.MODEL.RESNETS.STRIDE_IN_1X1
     outputs: Dict[str, jnp.ndarray] = {}
     s_in = p[f"{prefix}.res2.0.conv1.in_scale"]
-    q = _quant_s8(x, s_in)
+    q = quant_act_s8(x, s_in)
     for stage, name, stride, dil, has_sc, nxt, last in _iter_blocks(
             cfg, prefix, _num_stages(out_features)):
         y = _bottleneck_int8(p, name, q, s_in, stride, stride_in_1x1, dil, has_sc)
@@ -221,7 +217,7 @@ def _resnet_int8_stages(p: Dict, x: jnp.ndarray, cfg, prefix: str,
             outputs[stage] = y.astype(dtype)
         if nxt is not None:
             s_in = p[f"{nxt}.conv1.in_scale"]
-            q = _quant_s8(y, s_in)
+            q = quant_act_s8(y, s_in)
     return outputs
 
 

@@ -359,15 +359,14 @@ def _stacked_int8_chain(p: Dict, x: jnp.ndarray, cfg, prefix: str,
     layers, one requant multiply per layer, no dynamic scale reductions.
     With GN (DeepLab) each link dequantizes for the norm and requantizes
     with the next layer's static scale."""
-    from ..ops.conv import conv2d_int8_chain
+    from ..ops.conv import conv2d_int8_chain, quant_act_s8
     n = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
     pad = cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_KERNEL // 2
     dtype = x.dtype
     names = [f"{prefix}.body_conv_fcn{i + 1}" for i in range(n)]
     scales = [p[f"{nm}.in_scale"] for nm in names]
 
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scales[0]), -127, 127
-                 ).astype(jnp.int8)
+    q = quant_act_s8(x, scales[0])
     for i, nm in enumerate(names):
         last = i == n - 1
         if norm == "GN":
@@ -378,8 +377,7 @@ def _stacked_int8_chain(p: Dict, x: jnp.ndarray, cfg, prefix: str,
             y = jax.nn.relu(y)
             if last:
                 return y.astype(dtype)
-            q = jnp.clip(jnp.round(y / scales[i + 1]), -127, 127
-                         ).astype(jnp.int8)
+            q = quant_act_s8(y, scales[i + 1])
         else:
             out = conv2d_int8_chain(q, scales[i], p[f"{nm}.qweight"],
                                     p[f"{nm}.wscale"], p.get(f"{nm}.bias"),

@@ -92,10 +92,10 @@ def rpn_forward(
     for fname, feat, anc in zip(in_features, feats, anchors):
         if int8:
             from ..ops.conv import conv2d_int8_chain
-            from .resnet import _quant_s8
+            from ..ops.conv import quant_act_s8
             s_in = p[f"{prefix}.conv.in_scale_{fname}"]
             t = conv2d_int8_chain(
-                _quant_s8(feat, s_in), s_in, p[f"{prefix}.conv.qweight"],
+                quant_act_s8(feat, s_in), s_in, p[f"{prefix}.conv.qweight"],
                 p[f"{prefix}.conv.wscale"], p[f"{prefix}.conv.bias"],
                 padding=1, relu=True, out_scale=None).astype(feat.dtype)
         else:

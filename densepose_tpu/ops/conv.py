@@ -95,6 +95,13 @@ def conv2d_int8(
     return y[0] if squeeze else y
 
 
+def quant_act_s8(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """Symmetric per-tensor activation quantization with a precomputed
+    (calibrated) scale: round(x/scale) clipped to the s8 range."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127
+                    ).astype(jnp.int8)
+
+
 def quantize_weight_int8(w: jnp.ndarray):
     """Offline per-output-channel symmetric weight quantization:
     (kh, kw, Cin, Cout) f32/bf16 -> (qw s8, scale f32 (Cout,))."""

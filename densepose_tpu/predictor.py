@@ -153,8 +153,8 @@ class DensePosePredictor:
             for i in range(n):
                 nm = f"roi_heads.densepose_head.body_conv_fcn{i + 1}"
                 quant_bases.append(nm)
-                params[f"{nm}.in_scale"] = jnp.asarray(
-                    max(float(mx["head"][i]) / 127.0, 1e-8), jnp.float32)
+                params[f"{nm}.in_scale"] = np.float32(
+                    max(float(mx["head"][i]) / 127.0, 1e-8))
         if "backbone" in mx:
             from .models.resnet import resnet_int8_scale_sites
             prefix = self.model.resnet_prefix()
@@ -162,8 +162,7 @@ class DensePosePredictor:
             assert len(mx["backbone"]) == len(sites), (
                 len(mx["backbone"]), len(sites))
             for name, m in zip(sites, mx["backbone"]):
-                params[name] = jnp.asarray(max(float(m) / 127.0, 1e-8),
-                                           jnp.float32)
+                params[name] = np.float32(max(float(m) / 127.0, 1e-8))
             pat = re.compile(re.escape(prefix)
                              + r"\.res[2-5]\.\d+\.(conv[123]|shortcut)\.weight$")
             quant_bases += [k[:-len(".weight")] for k in params if pat.match(k)]
@@ -176,13 +175,11 @@ class DensePosePredictor:
             rvals = mx["fpn"][len(fpn_sites):]
             if getattr(self.cfg.TPU, "INT8_BACKBONE", False):
                 for name, m in zip(fpn_sites, fvals):
-                    params[name] = jnp.asarray(max(float(m) / 127.0, 1e-8),
-                                               jnp.float32)
+                    params[name] = np.float32(max(float(m) / 127.0, 1e-8))
                 quant_bases += [s[:-len(".in_scale")] for s in fpn_sites]
             if getattr(self.cfg.TPU, "INT8_RPN", False):
                 for name, m in zip(rpn_sites, rvals):
-                    params[name] = jnp.asarray(max(float(m) / 127.0, 1e-8),
-                                               jnp.float32)
+                    params[name] = np.float32(max(float(m) / 127.0, 1e-8))
                 quant_bases.append("proposal_generator.rpn_head.conv")
         # quantize every weight in ONE jitted dict->dict call: eager op
         # dispatch through the axon tunnel is ~seconds per op, and the
