@@ -53,23 +53,38 @@ REFERENCE_FPS = 1.0 / 0.066  # R_50_FPN_s1x, BASELINE.md
 # the chip is unreachable, because a dead tunnel otherwise HANGS the first
 # device touch forever (the axon plugin retries in a silent nanosleep loop
 # with no timeout — observed r2, outage >3h) and the round would record
-# nothing at all.
+# nothing at all. Deliberately git-tracked: the round driver commits
+# end-of-round state, so the freshest record survives into the next round
+# as the outage fallback (the measured_at stamp discloses its age).
 LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_last.json")
 
 
-def chip_reachable(timeout_s: float = 120.0) -> bool:
+def chip_reachable(timeout_s: float = None) -> bool:
     """Probe the device in a THROWAWAY subprocess. In-process probing is
-    impossible: a hung device touch cannot be cancelled from Python."""
+    impossible: a hung device touch cannot be cancelled from Python. The
+    probe also rejects a CPU backend — a JAX_PLATFORMS=cpu leak or a
+    fast-failing plugin must not let the bench silently measure CPU."""
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", "120"))
     code = ("import jax, jax.numpy as jnp;"
+            "p = jax.devices()[0].platform.lower();"
+            "assert p != 'cpu', p;"
             "y=(jnp.ones((128,128))@jnp.ones((128,128))).sum();"
             "assert float(y)==128.0**3, float(y)")
     try:
-        return subprocess.run(
+        proc = subprocess.run(
             [sys.executable, "-c", code], timeout=timeout_s,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        ).returncode == 0
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        )
+        if proc.returncode != 0:
+            tail = proc.stderr.decode(errors="replace").strip().splitlines()
+            print(f"# chip probe failed: {tail[-1] if tail else 'no stderr'}",
+                  file=sys.stderr)
+        return proc.returncode == 0
     except subprocess.TimeoutExpired:
+        print(f"# chip probe timed out after {timeout_s:.0f}s",
+              file=sys.stderr)
         return False
 
 CFG_PATH = "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml"
@@ -179,13 +194,22 @@ def main():
         try:
             with open(LAST_GOOD) as f:
                 rec = json.load(f)
+            if not isinstance(rec, dict):
+                rec = None
         except (OSError, ValueError):
+            rec = None
+        if rec is None:
             rec = {"metric": "frames_per_sec_per_chip", "value": 0.0,
-                   "unit": "fps", "vs_baseline": 0.0}
+                   "unit": "fps", "vs_baseline": 0.0,
+                   "stale_reason": ("TPU unreachable and no recorded "
+                                    "measurement available; 0.0 is a "
+                                    "placeholder, not a measurement")}
+        else:
+            rec["stale_reason"] = ("TPU unreachable (probe failed — see "
+                                   "stderr); value is the most recent "
+                                   "successful on-chip measurement, not a "
+                                   "fresh run")
         rec["stale"] = True
-        rec["stale_reason"] = ("TPU tunnel unreachable (probe matmul timed "
-                               "out); value is the most recent successful "
-                               "on-chip measurement, not a fresh run")
         print(json.dumps(rec))
         print("# CHIP UNREACHABLE — replayed last recorded measurement from "
               f"{LAST_GOOD}", file=sys.stderr)

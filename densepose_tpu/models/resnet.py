@@ -161,7 +161,7 @@ def _bottleneck_int8(p: Dict, name: str, q: jnp.ndarray, s_in,
     f32 and the caller requantizes to the next block's input scale. FrozenBN
     is already folded into weights/bias at load time, so the fp block is a
     pure conv+bias chain and quantizes without norm special cases."""
-    from ..ops.conv import conv2d_int8_chain, quant_act_s8
+    from ..ops.conv import conv2d_int8_chain
     s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
     q1 = conv2d_int8_chain(
         q, s_in, p[f"{name}.conv1.qweight"], p[f"{name}.conv1.wscale"],
