@@ -431,6 +431,82 @@ def test_siuv_maps_real_width():
         assert err < 5e-3, f"{key}: normalized max err {err:.2e}"
 
 
+def test_siuv_maps_real_width_legacy():
+    """Legacy (DECODER_ON=False) DensePose stage at REAL widths: the
+    multi-level P2-P5 pooler at 14x14 -> 8x 512-ch head convs -> predictors
+    at 28->56 with the legacy 15-channel coarse segmentation
+    (configs/densepose_rcnn_R_50_FPN_s1x_legacy.yaml; densepose
+    roi_head.py:126-158 without the decoder branch). Reuses the cached
+    real-width FPN features and detection boxes so only the legacy path
+    itself is fresh; the decoder-path twin above cannot see bugs in the
+    multi-level DensePose pooler or the 14x14/56 predictor geometry."""
+    c = setup()
+    cfg = model_zoo.get_config("densepose_rcnn_R_50_FPN_s1x_legacy").clone()
+    cfg.defrost()
+    cfg.INPUT.MIN_SIZE_TEST = 400
+    cfg.INPUT.MAX_SIZE_TEST = 667
+    cfg.TEST.DETECTIONS_PER_IMAGE = 24
+    cfg.freeze()
+    assert not cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_ON
+    assert cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_COARSE_SEGM_CHANNELS == 15
+
+    lmodel = build_model(cfg)
+    spec = {k: v for k, v in lmodel.spec().items()
+            if k.startswith("roi_heads.densepose_")}
+    state = make_state(spec)
+    params = {k: jnp.asarray(v)
+              for k, v in torch_state_to_jax(state, spec, fold_bn=False).items()}
+
+    from densepose_tpu.models.roi_heads import densepose_stage_forward
+    dp = jax.jit(lambda pp, ff, bb: densepose_stage_forward(pp, ff, bb, cfg))(
+        params, c["feats"], c["boxes_net"])
+
+    n = int(np.asarray(c["dvalid"]).sum())
+    assert n > 0
+    boxes = np.asarray(c["boxes_net"], np.float64)[:n]
+    res = cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION
+    sampling = cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_SAMPLING_RATIO
+    aligned = cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_TYPE == "ROIAlignV2"
+    n_convs = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
+    assert res == 14 and n_convs == 8
+
+    feats_np = {f: np.asarray(c["feats"][f], np.float32)
+                for f in ("p2", "p3", "p4", "p5")}
+    lv = np.clip(np.floor(4 + np.log2(
+        np.sqrt(np.maximum((boxes[:, 2] - boxes[:, 0])
+                           * (boxes[:, 3] - boxes[:, 1]), 0)) / 224 + 1e-8)),
+        2, 5).astype(int)
+    pooled = np.zeros((n, res, res, feats_np["p2"].shape[-1]), np.float64)
+    for lev in (2, 3, 4, 5):
+        sel = np.nonzero(lv == lev)[0]
+        if len(sel):
+            pooled[sel] = roi_align_np(feats_np[f"p{lev}"], boxes[sel],
+                                       1.0 / (2 ** lev), (res, res), sampling,
+                                       aligned)
+    xdp = t(pooled.astype(np.float32)).permute(0, 3, 1, 2)
+    for i in range(1, n_convs + 1):
+        xdp = F.relu(conv_b(state, f"roi_heads.densepose_head.body_conv_fcn{i}",
+                            xdp, 1, 1))
+    tdp = {}
+    for key, name in [("coarse_segm", "ann_index_lowres"),
+                      ("fine_segm", "index_uv_lowres"),
+                      ("u", "u_lowres"), ("v", "v_lowres")]:
+        w = t(state[f"roi_heads.densepose_predictor.{name}.weight"])
+        b = t(state[f"roi_heads.densepose_predictor.{name}.bias"])
+        y = F.conv_transpose2d(xdp, w, b, stride=2, padding=1)
+        tdp[key] = F.interpolate(y, scale_factor=2, mode="bilinear",
+                                 align_corners=False).detach().numpy()
+
+    assert tdp["coarse_segm"].shape[1] == 15
+    for key in ("coarse_segm", "fine_segm", "u", "v"):
+        got = _nchw(np.asarray(dp[key])[:n])
+        want = tdp[key]
+        assert got.shape == want.shape, (key, got.shape, want.shape)
+        scale = max(float(np.std(want)), 1e-6)
+        err = float(np.max(np.abs(got - want))) / scale
+        assert err < 5e-3, f"legacy {key}: normalized max err {err:.2e}"
+
+
 def test_bf16_drift_envelope():
     """Measure the serving dtype's end-to-end drift vs fp32 on the same
     frame and bound it. With random weights many detection scores sit near
