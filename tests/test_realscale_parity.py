@@ -507,6 +507,114 @@ def test_siuv_maps_real_width_legacy():
         assert err < 5e-3, f"legacy {key}: normalized max err {err:.2e}"
 
 
+def test_siuv_maps_real_width_deeplab():
+    """DeepLab DensePose stage at REAL widths: decoder -> 28x28 pooler ->
+    ASPP (256 -> 512, rates 6/12/56, GN) -> 8x 512-ch GN convs -> predictor
+    (configs/densepose_rcnn_R_50_FPN_DL_s1x.yaml; deeplab.py:20-145). The
+    toy-width DL twin (test_full_parity.py) runs 32-ch ASPP; GN group math
+    and accumulation behavior at the true 512/32-group shape are only
+    exercised here. Capped to 8 boxes — the 512-ch stack is ~30 GFLOP/box
+    per side on CPU."""
+    import torch.nn as nn
+
+    c = setup()
+    cfg = model_zoo.get_config("densepose_rcnn_R_50_FPN_DL_s1x").clone()
+    cfg.defrost()
+    cfg.INPUT.MIN_SIZE_TEST = 400
+    cfg.INPUT.MAX_SIZE_TEST = 667
+    cfg.TEST.DETECTIONS_PER_IMAGE = 24
+    cfg.freeze()
+    assert cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME == "DensePoseDeepLabHead"
+    assert cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_ON
+    hd = cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_DIM     # 512
+    n_convs = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
+    res = cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION
+    assert (hd, n_convs, res) == (512, 8, 28)
+
+    lmodel = build_model(cfg)
+    spec = {k: v for k, v in lmodel.spec().items()
+            if k.startswith(("roi_heads.densepose_", "roi_heads.decoder."))}
+    state = make_state(spec)
+    params = {k: jnp.asarray(v)
+              for k, v in torch_state_to_jax(state, spec, fold_bn=False).items()}
+
+    n = min(int(np.asarray(c["dvalid"]).sum()), 8)
+    assert n > 0
+    boxes8 = c["boxes_net"][:n]
+
+    from densepose_tpu.models.roi_heads import densepose_stage_forward
+    dp = jax.jit(lambda pp, ff, bb: densepose_stage_forward(pp, ff, bb, cfg))(
+        params, c["feats"], boxes8)
+
+    # --- torch twin ---------------------------------------------------
+    feats_t = {f: t(np.asarray(c["feats"][f], np.float32)
+                    ).permute(2, 0, 1)[None] for f in ("p2", "p3", "p4", "p5")}
+    dstate = "roi_heads.decoder"
+    dec = None
+    for f, length, has_up in [("p2", 1, False), ("p3", 1, True),
+                              ("p4", 2, True), ("p5", 3, True)]:
+        y = feats_t[f]
+        for kk in range(length):
+            idx2 = kk * 2 if has_up else kk
+            y = conv_b(state, f"{dstate}.{f}.{idx2}", y, 1, 1, relu=True)
+            if has_up:
+                y = F.interpolate(y, scale_factor=2, mode="bilinear",
+                                  align_corners=False)
+        dec = y if dec is None else dec + y
+    dec = conv_b(state, f"{dstate}.predictor", dec)
+    dec_np = dec[0].permute(1, 2, 0).detach().numpy()
+
+    sampling = cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_SAMPLING_RATIO
+    aligned = cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_TYPE == "ROIAlignV2"
+    pooled = roi_align_np(dec_np, np.asarray(boxes8, np.float64), 0.25,
+                          (res, res), sampling, aligned).astype(np.float32)
+    z = t(pooled).permute(0, 3, 1, 2)
+
+    hp = "roi_heads.densepose_head"
+    with torch.no_grad():
+        def gn(y, key):
+            return F.group_norm(y, 32, t(state[f"{key}.weight"]),
+                                t(state[f"{key}.bias"]))
+
+        def aspp_branch(y, i, dil=None):
+            w = t(state[f"{hp}.ASPP.convs.{i}.0.weight"])
+            y = (F.conv2d(y, w) if dil is None else
+                 F.conv2d(y, w, padding=dil, dilation=dil))
+            return F.relu(gn(y, f"{hp}.ASPP.convs.{i}.1"))
+
+        branches = [aspp_branch(z, 0),
+                    aspp_branch(z, 1, 6), aspp_branch(z, 2, 12),
+                    aspp_branch(z, 3, 56)]
+        pool = z.mean(dim=(-2, -1), keepdim=True)
+        pool = F.conv2d(pool, t(state[f"{hp}.ASPP.convs.4.1.weight"]))
+        pool = F.relu(gn(pool, f"{hp}.ASPP.convs.4.2"))
+        pool = F.interpolate(pool, size=z.shape[-2:], mode="bilinear",
+                             align_corners=False)
+        branches.append(pool)
+        y = F.relu(F.conv2d(torch.cat(branches, dim=1),
+                            t(state[f"{hp}.ASPP.project.0.weight"])))
+        for i in range(1, n_convs + 1):
+            y = F.conv2d(y, t(state[f"{hp}.body_conv_fcn{i}.weight"]), padding=1)
+            y = F.relu(gn(y, f"{hp}.body_conv_fcn{i}.norm"))
+        tdp = {}
+        for key, name in [("coarse_segm", "ann_index_lowres"),
+                          ("fine_segm", "index_uv_lowres"),
+                          ("u", "u_lowres"), ("v", "v_lowres")]:
+            w = t(state[f"roi_heads.densepose_predictor.{name}.weight"])
+            b = t(state[f"roi_heads.densepose_predictor.{name}.bias"])
+            o = F.conv_transpose2d(y, w, b, stride=2, padding=1)
+            tdp[key] = F.interpolate(o, scale_factor=2, mode="bilinear",
+                                     align_corners=False).numpy()
+
+    for key in ("coarse_segm", "fine_segm", "u", "v"):
+        got = _nchw(np.asarray(dp[key])[:n])
+        want = tdp[key]
+        assert got.shape == want.shape, (key, got.shape, want.shape)
+        scale = max(float(np.std(want)), 1e-6)
+        err = float(np.max(np.abs(got - want))) / scale
+        assert err < 5e-3, f"DL {key}: normalized max err {err:.2e}"
+
+
 def test_bf16_drift_envelope():
     """Measure the serving dtype's end-to-end drift vs fp32 on the same
     frame and bound it. With random weights many detection scores sit near
