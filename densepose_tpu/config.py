@@ -498,6 +498,14 @@ def _detectron2_defaults() -> CfgNode:
     # calibrated input scales; FPN backbones only). Same caveats as
     # INT8_BACKBONE.
     _C.TPU.INT8_RPN = False
+    # int8 serving mode for the chart predictor's four deconv heads (the
+    # largest fp block left after INT8_HEAD: one merged conv_transpose,
+    # ~100+ GFLOP/frame at the worst case). Statically calibrated input
+    # scale + per-output-channel weight scales, s8 x s8 -> s32, single
+    # dequant. Like INT8_HEAD it is post-detection (detections stay exact)
+    # but it changes the SIUV logits; chart predictors only. Requires
+    # INT8_HEAD's calibration pass, so enable both together.
+    _C.TPU.INT8_PREDICTOR = False
     return _C
 
 

@@ -190,7 +190,9 @@ class GeneralizedRCNN:
         per-block quantization-site maxima (TPU.INT8_BACKBONE)."""
         cfg = self.cfg
         out = {}
-        if getattr(cfg.TPU, "INT8_HEAD", False) and cfg.MODEL.DENSEPOSE_ON:
+        if ((getattr(cfg.TPU, "INT8_HEAD", False)
+             or getattr(cfg.TPU, "INT8_PREDICTOR", False))
+                and cfg.MODEL.DENSEPOSE_ON):
             from .roi_heads import densepose_stacked_calibration
             _, features, boxes_net = self.forward_stage1(
                 params, image_u8, compute_dtype)

@@ -488,9 +488,26 @@ def densepose_predictor_forward(
     up = float(cfg.MODEL.ROI_DENSEPOSE_HEAD.UP_SCALE)
     pad = int(k / 2 - 1)
 
+    # TPU.INT8_PREDICTOR: the four chart deconvs as one calibrated s8
+    # matmul pass (confidence heads, if emitted, stay fp on the same x)
+    int8p = (getattr(cfg.TPU, "INT8_PREDICTOR", False)
+             and f"{prefix}.in_scale" in p
+             and f"{prefix}.ann_index_lowres.qweight" in p)
+    if int8p:
+        from ..ops.conv import conv_transpose2d_int8_chain, quant_act_s8
+        s_in = p[f"{prefix}.in_scale"]
+        qx = quant_act_s8(x, s_in)
+
     def head(name):
-        y = conv_transpose2d(x, p[f"{prefix}.{name}.weight"], p[f"{prefix}.{name}.bias"],
-                             stride=2, padding=pad, kernel_size=k)
+        if int8p and f"{prefix}.{name}.qweight" in p:
+            y = conv_transpose2d_int8_chain(
+                qx, s_in, p[f"{prefix}.{name}.qweight"],
+                p[f"{prefix}.{name}.wscale"], p[f"{prefix}.{name}.bias"],
+                stride=2, padding=pad, kernel_size=k).astype(x.dtype)
+        else:
+            y = conv_transpose2d(x, p[f"{prefix}.{name}.weight"],
+                                 p[f"{prefix}.{name}.bias"],
+                                 stride=2, padding=pad, kernel_size=k)
         h, w = int(y.shape[-3] * up), int(y.shape[-2] * up)
         return resize_bilinear(y, (h, w), scale=(up, up))
 
@@ -504,14 +521,24 @@ def densepose_predictor_forward(
         (lerp in compute dtype) for upsample2x_bilinear (fp32 accumulation),
         which for bf16 inputs matches the separate heads only up to
         fp32-accumulated upsample rounding (~2e-4 abs on logits)."""
-        w_cat = jnp.concatenate([p[f"{prefix}.{n}.weight"] for n in names], axis=-1)
         b_cat = jnp.concatenate([p[f"{prefix}.{n}.bias"] for n in names], axis=-1)
         # (A polyphase-decomposed variant of this deconv measured SLOWER —
         # 2.85 vs 2.33 ms — the interleave relayouts cost more than the
         # dilated lowering; ops/conv.py::conv_transpose2d_polyphase kept
         # for reference.)
-        y = conv_transpose2d(x, w_cat, b_cat, stride=2, padding=pad,
-                             kernel_size=k)
+        if int8p and all(f"{prefix}.{n}.qweight" in p for n in names):
+            qw_cat = jnp.concatenate(
+                [p[f"{prefix}.{n}.qweight"] for n in names], axis=-1)
+            ws_cat = jnp.concatenate(
+                [p[f"{prefix}.{n}.wscale"] for n in names], axis=-1)
+            y = conv_transpose2d_int8_chain(
+                qx, s_in, qw_cat, ws_cat, b_cat,
+                stride=2, padding=pad, kernel_size=k).astype(x.dtype)
+        else:
+            w_cat = jnp.concatenate(
+                [p[f"{prefix}.{n}.weight"] for n in names], axis=-1)
+            y = conv_transpose2d(x, w_cat, b_cat, stride=2, padding=pad,
+                                 kernel_size=k)
         if up == 2.0:
             # Slice the four heads out at the deconv's 56^2 resolution and
             # shift-add-upsample each separately: bitwise identical per
@@ -639,6 +666,10 @@ def densepose_stacked_calibration(
         if norm == "GN":
             x = group_norm(x, p[f"{nm}.norm.weight"], p[f"{nm}.norm.bias"], 32)
         x = jax.nn.relu(x)
+    if getattr(cfg.TPU, "INT8_PREDICTOR", False):
+        # one extra slot: the head OUTPUT max = the chart predictor's
+        # deconv input scale (calibrate_int8 consumes it)
+        maxima.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
     return jnp.stack(maxima)
 
 

@@ -175,6 +175,43 @@ def conv2d_int8_chain(
     return out[0] if squeeze else out
 
 
+def conv_transpose2d_int8_chain(
+    qx: jnp.ndarray,
+    sx: float,
+    qw: jnp.ndarray,
+    wscale: jnp.ndarray,
+    b: Optional[jnp.ndarray],
+    *,
+    stride: int = 2,
+    padding: int = 1,
+    kernel_size: Optional[int] = None,
+) -> jnp.ndarray:
+    """Statically-calibrated int8 ConvTranspose2d (TPU.INT8_PREDICTOR).
+
+    Same input-dilated-conv formulation as conv_transpose2d (``qw`` in
+    forward-conv equivalent form, see checkpoint/transform.py), but run as
+    s8 x s8 -> s32 on the MXU with the conv2d_int8_chain epilogue: bias in
+    s32 counts, one per-channel f32 dequant. No ReLU and no requant-out —
+    the predictor's deconv is the chain's terminal layer."""
+    squeeze = qx.ndim == 3
+    if squeeze:
+        qx = qx[None]
+    k = kernel_size if kernel_size is not None else qw.shape[0]
+    p = k - 1 - padding
+    y = jax.lax.conv_general_dilated(
+        qx, qw,
+        window_strides=(1, 1),
+        padding=((p, p), (p, p)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.int32,
+    )
+    scale = sx * wscale  # (Cout,) f32, graph constant
+    if b is not None:
+        y = y + jnp.round(b.astype(jnp.float32) / scale).astype(jnp.int32)
+    return (y[0] if squeeze else y).astype(jnp.float32) * scale
+
+
 def conv_transpose2d(
     x: jnp.ndarray,
     w: jnp.ndarray,

@@ -93,7 +93,9 @@ class DensePosePredictor:
         self.bucketed = bool(cfg.TPU.BUCKETED_DENSEPOSE) and cfg.MODEL.DENSEPOSE_ON
         d = cfg.TEST.DETECTIONS_PER_IMAGE
         self.buckets = sorted({b for b in (8, 16, 32, 64) if b < d} | {d})
-        self._int8_needed = ((bool(getattr(cfg.TPU, "INT8_HEAD", False))
+        self._int8_needed = (((bool(getattr(cfg.TPU, "INT8_HEAD", False))
+                               or bool(getattr(cfg.TPU, "INT8_PREDICTOR",
+                                               False)))
                               and cfg.MODEL.DENSEPOSE_ON)
                              or (bool(getattr(cfg.TPU, "INT8_BACKBONE", False))
                                  and self.model.resnet_prefix() is not None
@@ -149,12 +151,22 @@ class DensePosePredictor:
         quant_bases = []  # conv names whose .weight gets a qweight/wscale
         if "head" in mx:
             n = self.cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
-            assert len(mx["head"]) == n, (len(mx["head"]), n)
-            for i in range(n):
-                nm = f"roi_heads.densepose_head.body_conv_fcn{i + 1}"
-                quant_bases.append(nm)
-                params[f"{nm}.in_scale"] = np.float32(
-                    max(float(mx["head"][i]) / 127.0, 1e-8))
+            int8_pred = bool(getattr(self.cfg.TPU, "INT8_PREDICTOR", False))
+            assert len(mx["head"]) == n + int(int8_pred), (len(mx["head"]), n)
+            if getattr(self.cfg.TPU, "INT8_HEAD", False):
+                for i in range(n):
+                    nm = f"roi_heads.densepose_head.body_conv_fcn{i + 1}"
+                    quant_bases.append(nm)
+                    params[f"{nm}.in_scale"] = np.float32(
+                        max(float(mx["head"][i]) / 127.0, 1e-8))
+            if int8_pred:
+                pp = "roi_heads.densepose_predictor"
+                chart_heads = ["ann_index_lowres", "index_uv_lowres",
+                               "u_lowres", "v_lowres"]
+                if all(f"{pp}.{h}.weight" in params for h in chart_heads):
+                    params[f"{pp}.in_scale"] = np.float32(
+                        max(float(mx["head"][n]) / 127.0, 1e-8))
+                    quant_bases += [f"{pp}.{h}" for h in chart_heads]
         if "backbone" in mx:
             from .models.resnet import resnet_int8_scale_sites
             prefix = self.model.resnet_prefix()

@@ -336,3 +336,95 @@ def test_predictor_int8_full_serving_stack():
         assert key in pred.params, key
     assert np.isfinite(np.asarray(got["pred_boxes"], np.float32)).all()
     assert np.isfinite(np.asarray(got["scores"], np.float32)).all()
+
+
+# ---------------------------------------------------------------------------
+# int8 chart predictor deconvs (TPU.INT8_PREDICTOR)
+# ---------------------------------------------------------------------------
+
+def test_conv_transpose_int8_chain_matches_fp():
+    """The s8 deconv link vs the fp conv_transpose2d on calibrated scales,
+    and merged-channel (concatenated qweight/wscale) == separate heads."""
+    from densepose_tpu.ops.conv import (conv_transpose2d,
+                                        conv_transpose2d_int8_chain,
+                                        quant_act_s8)
+    x = np.abs(RNG.randn(2, 7, 7, 24)).astype(np.float32)
+    w1 = (RNG.randn(4, 4, 24, 5) * 0.1).astype(np.float32)
+    w2 = (RNG.randn(4, 4, 24, 3) * 0.1).astype(np.float32)
+    b1 = (RNG.randn(5) * 0.1).astype(np.float32)
+    b2 = (RNG.randn(3) * 0.1).astype(np.float32)
+
+    sx = np.float32(np.abs(x).max() / 127.0)
+    qx = quant_act_s8(jnp.asarray(x), sx)
+    outs8, outsfp = [], []
+    for w, b in [(w1, b1), (w2, b2)]:
+        qw, sw = quantize_weight_int8(jnp.asarray(w))
+        outs8.append(np.asarray(conv_transpose2d_int8_chain(
+            qx, sx, qw, sw, jnp.asarray(b), stride=2, padding=1)))
+        outsfp.append(np.asarray(conv_transpose2d(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+            stride=2, padding=1)))
+    for got, want in zip(outs8, outsfp):
+        assert got.shape == want.shape
+        assert _rel_err(got, want) < 0.03
+
+    # merged = one deconv over concatenated output channels, bitwise equal
+    # per channel to the separate s8 heads
+    qw1, sw1 = quantize_weight_int8(jnp.asarray(w1))
+    qw2, sw2 = quantize_weight_int8(jnp.asarray(w2))
+    merged = np.asarray(conv_transpose2d_int8_chain(
+        qx, sx, jnp.concatenate([qw1, qw2], axis=-1),
+        jnp.concatenate([sw1, sw2]), jnp.asarray(np.concatenate([b1, b2])),
+        stride=2, padding=1))
+    np.testing.assert_array_equal(merged[..., :5], outs8[0])
+    np.testing.assert_array_equal(merged[..., 5:], outs8[1])
+
+
+def test_predictor_int8_deconv_autocalibration_and_envelope():
+    """TPU.INT8_PREDICTOR end to end on a tiny model: calibration injects
+    the deconv qweights + the head-output in_scale, detections stay
+    identical (post-detection quantization), SIUV logits stay within the
+    int8 envelope of the fp predictor."""
+    from densepose_tpu import model_zoo
+    from densepose_tpu.predictor import DensePosePredictor
+
+    TINY = [
+        "INPUT.MIN_SIZE_TEST", "64",
+        "INPUT.MAX_SIZE_TEST", "128",
+        "MODEL.RPN.PRE_NMS_TOPK_TEST", "100",
+        "MODEL.RPN.POST_NMS_TOPK_TEST", "40",
+        "TEST.DETECTIONS_PER_IMAGE", "3",
+    ]
+    img = (np.random.RandomState(5).rand(48, 64, 3) * 255).astype(np.uint8)
+
+    cfg = model_zoo.get_config("densepose_rcnn_R_50_FPN_s1x").clone()
+    cfg.defrost()
+    cfg.merge_from_list(TINY)
+    cfg.freeze()
+    fp = DensePosePredictor(cfg, seed=0)
+    want = fp.predict_numpy(img)
+
+    cfg8 = cfg.clone()
+    cfg8.defrost()
+    cfg8.merge_from_list(["TPU.INT8_HEAD", "True",
+                          "TPU.INT8_PREDICTOR", "True"])
+    cfg8.freeze()
+    pred = DensePosePredictor(cfg8, seed=0)
+    got = pred.predict_numpy(img)
+    assert pred._int8_ready
+    pp = "roi_heads.densepose_predictor"
+    for key in (f"{pp}.in_scale", f"{pp}.ann_index_lowres.qweight",
+                f"{pp}.u_lowres.wscale",
+                "roi_heads.densepose_head.body_conv_fcn1.qweight"):
+        assert key in pred.params, key
+
+    assert got["num_instances"] == want["num_instances"]
+    np.testing.assert_allclose(got["pred_boxes"], want["pred_boxes"],
+                               atol=1e-3)
+    for k in ("pred_densepose_u", "pred_densepose_fine_segm"):
+        g = got[k].astype(np.float32)
+        w = want[k].astype(np.float32)
+        assert g.shape == w.shape
+        denom = np.abs(w).max() + 1e-9
+        assert np.max(np.abs(g - w)) / denom < 0.2, (
+            k, float(np.max(np.abs(g - w)) / denom))
