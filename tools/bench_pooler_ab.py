@@ -106,6 +106,16 @@ def main():
                               "TPU.INT8_BACKBONE", "True",
                               "TPU.INT8_RPN", "True")),
         ]
+    if len(sys.argv) > 2 and sys.argv[2] == "int8pred":
+        variants = [
+            ("int8-head", {}, ("TPU.INT8_HEAD", "True")),
+            ("int8-head+pred", {}, ("TPU.INT8_HEAD", "True",
+                                    "TPU.INT8_PREDICTOR", "True")),
+            ("int8-hd+pd+bb+rpn", {}, ("TPU.INT8_HEAD", "True",
+                                       "TPU.INT8_PREDICTOR", "True",
+                                       "TPU.INT8_BACKBONE", "True",
+                                       "TPU.INT8_RPN", "True")),
+        ]
     for name, env, opts in variants:
         r = measure(env, frames, warm, iters, opts=opts)
         print(f"{name:12s} {r['fps']:7.2f} fps  {r['ms']:6.1f} ms/frame  "
