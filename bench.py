@@ -90,7 +90,7 @@ def chip_reachable(timeout_s: float = None) -> bool:
 CFG_PATH = "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml"
 
 
-def build_pred(int8: bool):
+def build_pred(int8: bool, int8_max: bool = False):
     from densepose_tpu.config import load_config
     from densepose_tpu.predictor import DensePosePredictor
 
@@ -99,6 +99,10 @@ def build_pred(int8: bool):
         "TPU.COMPUTE_DTYPE", os.environ.get("BENCH_DTYPE", "bfloat16"),
         "TPU.INT8_HEAD", "True" if int8 else "False",
     ]
+    if int8_max:
+        # everything the A/B showed pays for itself (the int8 predictor
+        # deconv measured neutral-negative and stays off — ARCHITECTURE.md)
+        opts += ["TPU.INT8_BACKBONE", "True", "TPU.INT8_RPN", "True"]
     cfg = load_config(CFG_PATH, opts)
     return cfg, DensePosePredictor(cfg, seed=0)
 
@@ -244,6 +248,17 @@ def main():
     fps_srv, passes_srv, p50_srv = measure_fps(
         pred_srv, frames, aux_frames, iters, calibrate=True)
 
+    # max-throughput serving: int8 head + backbone + RPN (changes
+    # detections — informational, never the headline). BENCH_SKIP_MAX=1
+    # skips the extra compile.
+    fps_max = None
+    if not os.environ.get("BENCH_SKIP_MAX"):
+        del pred_srv  # free HBM before the third full build
+        _, pred_max = build_pred(int8=True, int8_max=True)
+        fps_max, _, _ = measure_fps(
+            pred_max, frames, aux_frames, iters, calibrate=True)
+        del pred_max
+
     if headline_exact:
         fps, passes, mode = fps_exact, passes_exact, "bf16_exact"
     else:
@@ -256,6 +271,7 @@ def main():
         "mode": mode,
         "exact_mode_fps": round(fps_exact, 2),
         "serving_mode_fps": round(fps_srv, 2),
+        **({"max_serving_fps": round(fps_max, 2)} if fps_max else {}),
         # per-pass wall times so consumers can see the spread behind the
         # best-of-N headline (remote passes jitter by multiple ms)
         "passes_s": [round(t, 3) for t in passes],
@@ -275,7 +291,9 @@ def main():
           f"({fps_exact:.2f} fps) | int8-head serving mode: "
           f"{1e3 / fps_srv:.1f} ms ({fps_srv:.2f} fps; detections "
           f"bit-identical, SIUV maps within the tested int8 envelope); "
-          f"worst case: all {cfg.TEST.DETECTIONS_PER_IMAGE} DensePose slots "
+          + (f"max serving (int8 head+backbone+RPN, detections change): "
+             f"{1e3 / fps_max:.1f} ms ({fps_max:.2f} fps); " if fps_max else "")
+          + f"worst case: all {cfg.TEST.DETECTIONS_PER_IMAGE} DensePose slots "
           f"live; sparse frames (<=8 detections, the in-graph switch branch "
           f"real video takes): {fps_sparse:.1f} fps; serial end-to-end "
           f"latency p50 (incl transfers): exact {p50_exact * 1e3:.0f} ms / "
