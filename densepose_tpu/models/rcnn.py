@@ -105,6 +105,26 @@ class GeneralizedRCNN:
                                    max_size or self.max_size)
         hp, wp = pad_to_divisible(h1, w1, size_divisibility(self.cfg))
 
+        import os
+        if os.environ.get("DENSEPOSE_TPU_PACKED_PREPROCESS"):
+            # Packed W*C form: every step full-lane (see resize_bilinear_
+            # packed). Bit-exact to the smallc path — same taps, same fp32
+            # arithmetic; normalize/pad run on the merged axis and the
+            # final (Hp, Wp, 3) view is a free reshape.
+            from ..ops.resize import resize_bilinear_packed
+            x = image_u8
+            if self.input_format == "RGB":
+                x = x[..., ::-1]  # defaults.py:81-83
+            y = resize_bilinear_packed(x, (h1, w1), scale=(k, k))
+            y = y.reshape(h1, w1 * 3)
+            y = jnp.clip(jnp.round(y), 0, 255)
+            mean = jnp.asarray(np.tile(self.pixel_mean, w1), jnp.float32)
+            std = jnp.asarray(np.tile(self.pixel_std, w1), jnp.float32)
+            y = (y - mean) / std
+            y = jnp.pad(y, ((0, hp - h1), (0, (wp - w1) * 3)))
+            return (y.astype(compute_dtype).reshape(hp, wp, 3),
+                    (h1, w1), (hp, wp))
+
         x = image_u8.astype(jnp.float32)
         if self.input_format == "RGB":
             # reference flips BGR->RGB channel order (defaults.py:81-83)

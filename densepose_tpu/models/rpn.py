@@ -101,10 +101,18 @@ def rpn_forward(
         else:
             t = jax.nn.relu(conv2d(feat, p[f"{prefix}.conv.weight"],
                                    p[f"{prefix}.conv.bias"], padding=1))
-        logits = conv2d(t, p[f"{prefix}.objectness_logits.weight"],
-                        p[f"{prefix}.objectness_logits.bias"])
-        deltas = conv2d(t, p[f"{prefix}.anchor_deltas.weight"],
-                        p[f"{prefix}.anchor_deltas.bias"])
+        # one fused 1x1 conv for objectness (A ch) + deltas (4A ch): each
+        # output channel's dot over the 256 inputs is computed independently
+        # either way, but fusing halves the reads of the 33 MB/level head
+        # feature ``t`` (the FLOPs here are trivial; the reads are not)
+        a_ch = p[f"{prefix}.objectness_logits.bias"].shape[0]
+        w_cat = jnp.concatenate([p[f"{prefix}.objectness_logits.weight"],
+                                 p[f"{prefix}.anchor_deltas.weight"]], axis=-1)
+        b_cat = jnp.concatenate([p[f"{prefix}.objectness_logits.bias"],
+                                 p[f"{prefix}.anchor_deltas.bias"]])
+        both = conv2d(t, w_cat, b_cat)
+        logits = both[..., :a_ch]
+        deltas = both[..., a_ch:]
         hwa = logits.shape[-3] * logits.shape[-2] * logits.shape[-1]
         logits = logits.reshape(hwa)                    # (H*W*A,), order (y,x,a)
         deltas = deltas.reshape(hwa, 4)                 # channel = a*4+d -> (HWA, 4)

@@ -124,6 +124,58 @@ def resize_bilinear_smallc(
     return jnp.swapaxes(y, -3, -2)
 
 
+def resize_bilinear_packed(
+    x: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    scale: Optional[Tuple[float, float]] = None,
+) -> jnp.ndarray:
+    """Bit-exact HWC resize with the W and C axes PACKED into one.
+
+    ``resize_bilinear_smallc`` fixed the W-axis gather, but every
+    intermediate still carries a minor dim of C=3 — on TPU each (8, 128)
+    tile then holds 3 useful lanes, so even "cheap" elementwise/relayout
+    steps move ~42x more tiles than data. Here the image is viewed as
+    (H, W*C) (a free reshape of contiguous HWC), so every gather, lerp and
+    transpose runs on full 128-lane tiles:
+
+      H pass : row takes on (H, W*C)
+      W pass : transpose to (W*C, H) [an efficient 2D relayout], then row
+               takes with channel-interleaved indices i[j]*C + c and
+               3x-repeated weights, transpose back.
+
+    Taps and fp32 lerp arithmetic are identical to ``resize_bilinear`` —
+    the result is bit-exact; only the memory movement differs. Input may be
+    uint8 (taken as u8, cast exactly to f32 at the lerp) or float.
+    Returns float32 (H_out, W_out, C).
+    """
+    h_in, w_in, c = x.shape
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out) and scale is None:
+        return x.astype(jnp.float32)
+    sh, sw = (scale if scale is not None else (None, None))
+
+    y = x.reshape(h_in, w_in * c)
+
+    # H pass: rows of (H, W*C)
+    i0, i1, w0, w1 = _axis_weights(h_in, h_out, sh)
+    ya = jnp.take(y, jnp.asarray(i0), axis=0).astype(jnp.float32)
+    yb = jnp.take(y, jnp.asarray(i1), axis=0).astype(jnp.float32)
+    y = ya * jnp.asarray(w0)[:, None] + yb * jnp.asarray(w1)[:, None]
+
+    # W pass: rows of the transposed (W*C, H) view, channel-interleaved
+    j0, j1, v0, v1 = _axis_weights(w_in, w_out, sw)
+    cc = np.arange(c, dtype=np.int64)
+    j0m = (j0[:, None] * c + cc[None, :]).reshape(-1)
+    j1m = (j1[:, None] * c + cc[None, :]).reshape(-1)
+    v0m = np.repeat(v0, c)
+    v1m = np.repeat(v1, c)
+    y = y.T  # (W*C, H) — full-lane 2D relayout
+    ya = jnp.take(y, jnp.asarray(j0m), axis=0)
+    yb = jnp.take(y, jnp.asarray(j1m), axis=0)
+    y = ya * jnp.asarray(v0m)[:, None] + yb * jnp.asarray(v1m)[:, None]
+    return y.T.reshape(h_out, w_out, c)
+
+
 def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
     """Exact scale-2 half-pixel bilinear upsample as shift-adds.
 

@@ -444,6 +444,44 @@ def test_resize_bilinear_smallc_bit_exact():
         np.asarray(resize_bilinear_smallc(x2, (19, 17))))
 
 
+def test_resize_bilinear_packed_bit_exact():
+    """Packed W*C-axis resize == the standard formulation, bit for bit
+    (same taps and fp32 lerp; only the memory movement differs). Also
+    checks the uint8-input form the preprocess uses."""
+    from densepose_tpu.ops.resize import resize_bilinear, resize_bilinear_packed
+    u8 = (RNG.rand(48, 64, 3) * 255).round().astype(np.uint8)
+    x = jnp.asarray(u8.astype(np.float32))
+    a = np.asarray(resize_bilinear(x, (61, 80), scale=(1.27, 1.27)))
+    b = np.asarray(resize_bilinear_packed(jnp.asarray(u8), (61, 80),
+                                          scale=(1.27, 1.27)))
+    np.testing.assert_array_equal(a, b)
+    # downscale, size mode, C != 3
+    x2 = jnp.asarray(RNG.rand(40, 30, 5).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(resize_bilinear(x2, (19, 17))),
+        np.asarray(resize_bilinear_packed(x2, (19, 17))))
+
+
+def test_packed_preprocess_bit_exact(monkeypatch):
+    """The DENSEPOSE_TPU_PACKED_PREPROCESS path produces bit-identical
+    padded network inputs to the default smallc path."""
+    from densepose_tpu.config import load_config
+    from densepose_tpu.models.rcnn import GeneralizedRCNN
+
+    cfg = load_config(
+        "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml",
+        ["INPUT.MIN_SIZE_TEST", "96", "INPUT.MAX_SIZE_TEST", "160"])
+    m = GeneralizedRCNN(cfg)
+    img = jnp.asarray((RNG.rand(75, 117, 3) * 255).astype(np.uint8))
+
+    monkeypatch.delenv("DENSEPOSE_TPU_PACKED_PREPROCESS", raising=False)
+    base, hw1, hwp = m.preprocess(img, (75, 117))
+    monkeypatch.setenv("DENSEPOSE_TPU_PACKED_PREPROCESS", "1")
+    got, hw1b, hwpb = m.preprocess(img, (75, 117))
+    assert (hw1, hwp) == (hw1b, hwpb)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+
+
 def test_roi_align_windowed_matches_matmul():
     """x-sorted window pooler == the plain matmul pooler, including wide
     elongated boxes that overflow the window (cond fallback) and the

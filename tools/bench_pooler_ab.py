@@ -97,6 +97,11 @@ def main():
             ("ls-nowindow", {"DENSEPOSE_TPU_LS_NOWINDOW": "1"}, ()),
             ("ls-windowed", {"DENSEPOSE_TPU_LS_NOWINDOW": None}, ()),
         ]
+    if len(sys.argv) > 2 and sys.argv[2] == "preproc":
+        variants = [
+            ("smallc", {"DENSEPOSE_TPU_PACKED_PREPROCESS": None}, ()),
+            ("packed-wc", {"DENSEPOSE_TPU_PACKED_PREPROCESS": "1"}, ()),
+        ]
     if len(sys.argv) > 2 and sys.argv[2] == "int8bb":
         variants = [
             ("int8-head", {}, ("TPU.INT8_HEAD", "True")),
