@@ -106,11 +106,13 @@ class GeneralizedRCNN:
         hp, wp = pad_to_divisible(h1, w1, size_divisibility(self.cfg))
 
         import os
-        if os.environ.get("DENSEPOSE_TPU_PACKED_PREPROCESS"):
-            # Packed W*C form: every step full-lane (see resize_bilinear_
-            # packed). Bit-exact to the smallc path — same taps, same fp32
-            # arithmetic; normalize/pad run on the merged axis and the
-            # final (Hp, Wp, 3) view is a free reshape.
+        if not os.environ.get("DENSEPOSE_TPU_SMALLC_PREPROCESS"):
+            # DEFAULT: packed W*C form — every step full-lane (see resize_
+            # bilinear_packed). Bit-exact to the smallc path below — same
+            # taps, same fp32 arithmetic (tests/test_ops.py::
+            # test_packed_preprocess_bit_exact); on-chip A/B: 30.6 -> 30.4
+            # ms/frame end-to-end. Normalize/pad run on the merged axis and
+            # the final (Hp, Wp, 3) view is a free reshape.
             from ..ops.resize import resize_bilinear_packed
             x = image_u8
             if self.input_format == "RGB":

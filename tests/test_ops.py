@@ -463,8 +463,8 @@ def test_resize_bilinear_packed_bit_exact():
 
 
 def test_packed_preprocess_bit_exact(monkeypatch):
-    """The DENSEPOSE_TPU_PACKED_PREPROCESS path produces bit-identical
-    padded network inputs to the default smallc path."""
+    """The default packed preprocess produces bit-identical padded network
+    inputs to the opt-out smallc path (DENSEPOSE_TPU_SMALLC_PREPROCESS)."""
     from densepose_tpu.config import load_config
     from densepose_tpu.models.rcnn import GeneralizedRCNN
 
@@ -474,9 +474,9 @@ def test_packed_preprocess_bit_exact(monkeypatch):
     m = GeneralizedRCNN(cfg)
     img = jnp.asarray((RNG.rand(75, 117, 3) * 255).astype(np.uint8))
 
-    monkeypatch.delenv("DENSEPOSE_TPU_PACKED_PREPROCESS", raising=False)
+    monkeypatch.setenv("DENSEPOSE_TPU_SMALLC_PREPROCESS", "1")
     base, hw1, hwp = m.preprocess(img, (75, 117))
-    monkeypatch.setenv("DENSEPOSE_TPU_PACKED_PREPROCESS", "1")
+    monkeypatch.delenv("DENSEPOSE_TPU_SMALLC_PREPROCESS", raising=False)
     got, hw1b, hwpb = m.preprocess(img, (75, 117))
     assert (hw1, hwp) == (hw1b, hwpb)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(got))

@@ -99,8 +99,8 @@ def main():
         ]
     if len(sys.argv) > 2 and sys.argv[2] == "preproc":
         variants = [
-            ("smallc", {"DENSEPOSE_TPU_PACKED_PREPROCESS": None}, ()),
-            ("packed-wc", {"DENSEPOSE_TPU_PACKED_PREPROCESS": "1"}, ()),
+            ("smallc", {"DENSEPOSE_TPU_SMALLC_PREPROCESS": "1"}, ()),
+            ("packed-wc", {"DENSEPOSE_TPU_SMALLC_PREPROCESS": None}, ()),
         ]
     if len(sys.argv) > 2 and sys.argv[2] == "int8bb":
         variants = [
