@@ -132,7 +132,17 @@ def hrnet_forward(p: Dict, x: jnp.ndarray, cfg,
                   prefix: str = "backbone.bottom_up") -> List[jnp.ndarray]:
     """x: (H, W, 3) normalized. Returns the 4 branch maps
     [1/4, 1/8, 1/16, 1/32]."""
-    x = _cbr(p, x, f"{prefix}.conv1", f"{prefix}.bn1", stride=2, padding=1)
+    # first stem conv (3x3/s2 RGB) takes the packed-lane MXU routing — the
+    # plain 3-channel conv lowers to a space-to-batch VPU loop (see
+    # ops/conv.py::conv_stride2_packed)
+    from ..ops.conv import conv2d_rgb_s2
+    y = conv2d_rgb_s2(x, p[f"{prefix}.conv1.weight"],
+                      p.get(f"{prefix}.conv1.bias"))
+    if f"{prefix}.bn1.running_mean" in p:
+        y = frozen_batch_norm(y, p[f"{prefix}.bn1.weight"], p[f"{prefix}.bn1.bias"],
+                              p[f"{prefix}.bn1.running_mean"],
+                              p[f"{prefix}.bn1.running_var"])
+    x = jax.nn.relu(y)
     x = _cbr(p, x, f"{prefix}.conv2", f"{prefix}.bn2", stride=2, padding=1)
 
     for i in range(4):

@@ -96,6 +96,22 @@ def _conv_norm(p: Dict, name: str, x, **kw):
     return y
 
 
+def stem_conv_norm(p: Dict, name: str, x):
+    """The stride-2 RGB stem conv (+ FrozenBN), routed to the packed-lane
+    MXU formulation (ops/conv.py::conv_stride2_packed) whenever the kernel
+    fits — XLA lowers the 3-channel conv as a space-to-batch VPU loop that
+    costs ~1.4 ms/frame at 800px, ~50x its MXU floor.
+    ``DENSEPOSE_TPU_NO_PACKED_STEM=1`` restores the plain conv lowering.
+    Shared by ResNet (7x7/s2, resnet.py:344-352) and the HRNet first stem
+    conv (3x3/s2)."""
+    from ..ops.conv import conv2d_rgb_s2
+    y = conv2d_rgb_s2(x, p[f"{name}.weight"], p.get(f"{name}.bias"))
+    if f"{name}.norm.running_mean" in p:
+        y = frozen_batch_norm(y, p[f"{name}.norm.weight"], p[f"{name}.norm.bias"],
+                              p[f"{name}.norm.running_mean"], p[f"{name}.norm.running_var"])
+    return y
+
+
 def _bottleneck(p: Dict, name: str, x, stride: int, stride_in_1x1: bool,
                 dilation: int, has_shortcut: bool):
     s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
@@ -243,7 +259,7 @@ def resnet_int8_calibration(p: Dict, x: jnp.ndarray, cfg,
     activation (the tensor feeding conv1/conv2/conv3 of every block), in
     ``resnet_int8_scale_sites`` order. ``x``: preprocessed network input."""
     stride_in_1x1 = cfg.MODEL.RESNETS.STRIDE_IN_1X1
-    x = jax.nn.relu(_conv_norm(p, f"{prefix}.stem.conv1", x, stride=2, padding=3))
+    x = jax.nn.relu(stem_conv_norm(p, f"{prefix}.stem.conv1", x))
     x = max_pool2d(x, kernel_size=3, stride=2, padding=1)
     maxes = [jnp.max(jnp.abs(x.astype(jnp.float32)))]
     for _, name, stride, dil, has_sc, nxt, _ in _iter_blocks(
@@ -277,7 +293,7 @@ def resnet_forward(
     blocks = NUM_BLOCKS_PER_STAGE[depth]
     chans = _stage_channels(cfg)
 
-    x = jax.nn.relu(_conv_norm(p, f"{prefix}.stem.conv1", x, stride=2, padding=3))
+    x = jax.nn.relu(stem_conv_norm(p, f"{prefix}.stem.conv1", x))
     x = max_pool2d(x, kernel_size=3, stride=2, padding=1)
 
     if int8_backbone_active(p, cfg, prefix):

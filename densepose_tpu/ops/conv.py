@@ -56,6 +56,95 @@ def conv2d(
     return y[0] if squeeze else y
 
 
+def conv_stride2_packed(
+    xp: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    *,
+    padding: int,
+) -> jnp.ndarray:
+    """Stride-2 RGB conv computed as full-lane MXU matmuls on the PACKED
+    (..., H, W*3) image view (see ``resize_bilinear_packed``) — the backbone
+    stem (ResNet 7x7/s2, resnet.py:344-352; HRNet 3x3/s2) is otherwise
+    lowered by XLA as a space-to-batch VPU loop over the 3-channel input
+    (~1.4 ms/frame at 800px, ~50x its MXU floor).
+
+    Key fact: in the packed row, the taps of output column n occupy the
+    CONTIGUOUS lanes [6n, 6n + 3*kw) (stride 2 pixels = 6 lanes). Splitting
+    output columns by phase j = n mod 4 makes every window start lane a
+    multiple of 24 inside the lane-shifted view P_j = xpad[:, 6j:], so each
+    phase reduces to a dense GEMM:
+
+        P_j reshaped (..., Hp, T, 24);  per tap-row dy a stride-2 row slice;
+        concat over dy -> (..., ho, T, 24*kh) @ W_pack (24*kh, Cout)
+
+    with W_pack the HWIO kernel laid out as [dy, dx*3+c] and zero-padded
+    from 3*kw to 24 lanes per dy. Every slice/reshape moves full 128-lane
+    tiles; the four phase GEMMs run at K = 24*kh. Same products as
+    ``conv2d`` (the lane padding multiplies exact zeros), so parity is at
+    MXU-reassociation level.
+
+    xp: (..., H, W*3), already zero-padded to the network input (H, W even);
+    w: (kh, kw, 3, Cout) HWIO with 3*kw <= 24; padding: the conv's spatial
+    pad (3 for the 7x7 stem, 1 for 3x3). Returns (..., H//2, W//2, Cout).
+    """
+    kh, kw, cin, cout = w.shape
+    assert cin == 3 and 3 * kw <= 24, (w.shape,)
+    *lead, hp, wc = xp.shape
+    assert wc % 3 == 0 and hp % 2 == 0, (xp.shape,)
+    wp = wc // 3
+    assert wp % 2 == 0, (xp.shape,)
+    ho, wo = hp // 2, wp // 2
+    t_blocks = -(-wo // 4)
+
+    # rows: `padding` above; below just enough for the last tap row
+    pad_top = padding
+    h_pad = 2 * ho - 2 + kh
+    pad_bot = h_pad - pad_top - hp
+    # lanes: 3*padding left; right up to the widest phase view
+    w_pad = 18 + 24 * t_blocks
+    lane_l = 3 * padding
+    lane_r = w_pad - lane_l - wc
+    assert pad_bot >= 0 and lane_r >= 0, (pad_bot, lane_r)
+    zeros2 = [(0, 0)] * len(lead)
+    xpad = jnp.pad(xp, zeros2 + [(pad_top, pad_bot), (lane_l, lane_r)])
+
+    # W_pack: K index = dy*24 + dx*3 + c, lanes [3*kw, 24) exact zeros
+    wp_k = jnp.concatenate(
+        [w, jnp.zeros((kh, 8 - kw, 3, cout), w.dtype)], axis=1
+    ).reshape(kh * 24, cout).astype(xp.dtype)
+
+    phases = []
+    for j in range(4):
+        pj = jax.lax.slice_in_dim(xpad, 6 * j, 6 * j + 24 * t_blocks, axis=-1)
+        pj = pj.reshape(*lead, h_pad, t_blocks, 24)
+        taps = [pj[..., dy:dy + 2 * ho:2, :, :] for dy in range(kh)]
+        kmat = jnp.concatenate(taps, axis=-1)      # (..., ho, T, 24*kh)
+        phases.append(jnp.dot(kmat, wp_k))         # (..., ho, T, Cout)
+    y = jnp.stack(phases, axis=-2)                 # (..., ho, T, 4, Cout)
+    y = y.reshape(*lead, ho, 4 * t_blocks, cout)[..., :, :wo, :]
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def conv2d_rgb_s2(x: jnp.ndarray, w: jnp.ndarray,
+                  b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Stride-2 stem conv on an RGB image (..., H, W, 3), routed to
+    ``conv_stride2_packed`` whenever the kernel fits (odd k, 3*kw <= 24,
+    even H/W), else the plain conv. ``DENSEPOSE_TPU_NO_PACKED_STEM=1``
+    forces the plain lowering (A/B escape hatch)."""
+    import os
+    kh, kw_, cin, _ = w.shape
+    if (not os.environ.get("DENSEPOSE_TPU_NO_PACKED_STEM")
+            and cin == 3 and x.shape[-1] == 3 and 3 * kw_ <= 24
+            and kh % 2 == 1 and kh == kw_
+            and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0):
+        xp = x.reshape(*x.shape[:-2], x.shape[-2] * 3)
+        return conv_stride2_packed(xp, w, b, padding=kh // 2)
+    return conv2d(x, w, b, stride=2, padding=kh // 2)
+
+
 def conv2d_int8(
     x: jnp.ndarray,
     w: jnp.ndarray,

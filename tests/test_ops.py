@@ -623,3 +623,54 @@ def test_sparse_pooler_interpret_parity():
     got = np.asarray(roi_align_multilevel_sparse(
         feats, boxes, levels, scales, (7, 7), 2, True))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_packed_stem_conv_exact():
+    """conv_stride2_packed (packed-lane MXU stem) == conv2d(stride=2,
+    padding=k//2) for the 7x7 ResNet and 3x3 HRNet stem geometries, single
+    and batched, including non-multiple-of-8 output widths. fp32 CPU is
+    bitwise here (same products; the lane padding contributes exact zeros)."""
+    import jax.numpy as jnp
+    from densepose_tpu.ops.conv import conv2d, conv_stride2_packed
+
+    rng = np.random.RandomState(3)
+    for (h, w, k) in [(64, 96, 7), (64, 96, 3), (32, 52, 7), (96, 168, 3)]:
+        x = rng.randn(h, w, 3).astype(np.float32)
+        wk = rng.randn(k, k, 3, 64).astype(np.float32)
+        b = rng.randn(64).astype(np.float32)
+        want = conv2d(jnp.asarray(x), jnp.asarray(wk), jnp.asarray(b),
+                      stride=2, padding=k // 2)
+        got = conv_stride2_packed(jnp.asarray(x).reshape(h, w * 3),
+                                  jnp.asarray(wk), jnp.asarray(b),
+                                  padding=k // 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+        xb = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+        wantb = conv2d(xb, jnp.asarray(wk), jnp.asarray(b),
+                       stride=2, padding=k // 2)
+        gotb = conv_stride2_packed(xb.reshape(2, h, w * 3), jnp.asarray(wk),
+                                   jnp.asarray(b), padding=k // 2)
+        np.testing.assert_allclose(np.asarray(gotb), np.asarray(wantb),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_conv2d_rgb_s2_routing_and_fallback(monkeypatch):
+    """conv2d_rgb_s2 falls back to the plain conv for odd spatial sizes and
+    honors DENSEPOSE_TPU_NO_PACKED_STEM; both routes agree."""
+    import jax.numpy as jnp
+    from densepose_tpu.ops.conv import conv2d, conv2d_rgb_s2
+
+    rng = np.random.RandomState(4)
+    wk = jnp.asarray(rng.randn(7, 7, 3, 16).astype(np.float32))
+    b = jnp.asarray(rng.randn(16).astype(np.float32))
+    # odd width -> must fall back, still correct
+    x_odd = jnp.asarray(rng.randn(32, 49, 3).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(conv2d_rgb_s2(x_odd, wk, b)),
+        np.asarray(conv2d(x_odd, wk, b, stride=2, padding=3)), atol=1e-6)
+    # env escape hatch forces the plain lowering
+    x = jnp.asarray(rng.randn(32, 48, 3).astype(np.float32))
+    packed = np.asarray(conv2d_rgb_s2(x, wk, b))
+    monkeypatch.setenv("DENSEPOSE_TPU_NO_PACKED_STEM", "1")
+    plain = np.asarray(conv2d_rgb_s2(x, wk, b))
+    np.testing.assert_allclose(packed, plain, atol=1e-5, rtol=1e-5)

@@ -102,6 +102,11 @@ def main():
             ("smallc", {"DENSEPOSE_TPU_SMALLC_PREPROCESS": "1"}, ()),
             ("packed-wc", {"DENSEPOSE_TPU_SMALLC_PREPROCESS": None}, ()),
         ]
+    if len(sys.argv) > 2 and sys.argv[2] == "stem":
+        variants = [
+            ("conv-stem", {"DENSEPOSE_TPU_NO_PACKED_STEM": "1"}, ()),
+            ("packed-stem", {"DENSEPOSE_TPU_NO_PACKED_STEM": None}, ()),
+        ]
     if len(sys.argv) > 2 and sys.argv[2] == "int8bb":
         variants = [
             ("int8-head", {}, ("TPU.INT8_HEAD", "True")),

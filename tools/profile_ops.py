@@ -91,9 +91,17 @@ def aggregate(logdir: str, steps: int, top: int) -> None:
     md = plane.event_metadata
     by_op = defaultdict(float)
     total_ps = 0.0
+    # async spans (copy-start/slice-start waits overlap real compute) and
+    # container ops (jit_*, conditional, while, tuple — their duration
+    # re-counts nested children) pollute attribution; keep leaf compute only
+    skip = re.compile(r"%?(copy-start|slice-start|all-reduce-start|"
+                      r"collective-permute-start|jit_|cond|conditional|"
+                      r"while|tuple|get-tuple-element|copy-done|slice-done)")
     for line in plane.lines:
         for ev in line.events:
             name = md[ev.metadata_id].name if ev.metadata_id in md else "?"
+            if skip.match(name):
+                continue
             by_op[name] += ev.duration_ps
             total_ps += ev.duration_ps
 
