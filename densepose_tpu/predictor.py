@@ -104,6 +104,12 @@ class DensePosePredictor:
                                  and cfg.MODEL.BACKBONE.NAME
                                  == "build_resnet_fpn_backbone"))
         self._int8_ready = False
+        # offline-calibrated deployments: a <weights>.calib.json sidecar
+        # (export.py --calib / save_calibration) restores the int8 scales
+        # without a runtime calibration pass
+        if (self._int8_needed and weights_path
+                and os.path.exists(weights_path + ".calib.json")):
+            self.load_calibration(weights_path + ".calib.json")
 
     def _cast_param(self, name: str, v: np.ndarray):
         # Weights participating in MXU work go to the compute dtype; the fp32
@@ -136,8 +142,6 @@ class DensePosePredictor:
         assert self._int8_needed, "no TPU.INT8_* mode is enabled"
         import re
         from functools import partial
-
-        from .ops.conv import quantize_weight_int8
 
         fn = jax.jit(partial(self.model.forward_int8_calibration,
                              compute_dtype=self.compute_dtype))
@@ -193,6 +197,13 @@ class DensePosePredictor:
                 for name, m in zip(rpn_sites, rvals):
                     params[name] = np.float32(max(float(m) / 127.0, 1e-8))
                 quant_bases.append("proposal_generator.rpn_head.conv")
+        self._quantize_install(params, quant_bases)
+
+    def _quantize_install(self, params: Dict, quant_bases) -> None:
+        """Per-channel-quantize ``quant_bases``'s conv weights and install
+        the updated param dict; shared tail of calibrate_int8 and
+        load_calibration."""
+        from .ops.conv import quantize_weight_int8
         # quantize every weight in ONE jitted dict->dict call: eager op
         # dispatch through the axon tunnel is ~seconds per op, and the
         # backbone alone has ~53 convs (measured: per-conv eager quantization
@@ -209,6 +220,126 @@ class DensePosePredictor:
         self._stage1_cache.clear()
         self._stage2_cache.clear()
         self._int8_ready = True
+
+    def _int8_quant_bases(self, params: Dict):
+        """Conv base names to quantize, derived from which ``.in_scale``
+        activation-scale entries are present in ``params``. Mirrors the
+        bookkeeping calibrate_int8 does inline (scales are only ever
+        installed group-at-a-time, so presence identifies the group);
+        tests pin the two code paths to each other
+        (tests/test_int8.py::test_calibration_save_load_roundtrip)."""
+        import re
+        bases = []
+        n = self.cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
+        for i in range(n):
+            nm = f"roi_heads.densepose_head.body_conv_fcn{i + 1}"
+            if f"{nm}.in_scale" in params:
+                bases.append(nm)
+        pp = "roi_heads.densepose_predictor"
+        if f"{pp}.in_scale" in params:
+            bases += [f"{pp}.{h}" for h in ("ann_index_lowres",
+                                            "index_uv_lowres",
+                                            "u_lowres", "v_lowres")]
+        prefix = self.model.resnet_prefix()
+        if prefix is not None:
+            from .models.resnet import resnet_int8_scale_sites
+            sites = resnet_int8_scale_sites(self.cfg, prefix)
+            if sites and all(s in params for s in sites):
+                pat = re.compile(
+                    re.escape(prefix)
+                    + r"\.res[2-5]\.\d+\.(conv[123]|shortcut)\.weight$")
+                bases += [k[:-len(".weight")] for k in params if pat.match(k)]
+        if self.cfg.MODEL.BACKBONE.NAME == "build_resnet_fpn_backbone":
+            from .models.fpn import fpn_int8_scale_sites
+            fpn_sites, rpn_sites = fpn_int8_scale_sites(self.cfg)
+            if fpn_sites and all(s in params for s in fpn_sites):
+                bases += [s[:-len(".in_scale")] for s in fpn_sites]
+            if rpn_sites and all(s in params for s in rpn_sites):
+                bases.append("proposal_generator.rpn_head.conv")
+        return bases
+
+    def export_calibration(self) -> Dict[str, float]:
+        """The int8 activation scales as a plain {param_name: float} dict
+        (only meaningful after calibrate_int8/load_calibration)."""
+        assert self._int8_ready, "calibrate_int8 was never run"
+        return {k: float(np.asarray(v)) for k, v in self.params.items()
+                if k.endswith(".in_scale")}
+
+    def save_calibration(self, path: str) -> None:
+        """Persist the int8 activation scales as JSON. Calibrate once
+        offline with a representative frame set, ship the sidecar next to
+        the weights bundle (``<bundle>.calib.json`` auto-loads), and
+        deployment never pays nor depends on a runtime calibration pass —
+        the per-channel weight quantization is deterministic and is
+        recomputed from the weights at load."""
+        import json
+        with open(path, "w") as f:
+            json.dump({"format": "densepose-tpu-int8-calib",
+                       "scales": self.export_calibration()}, f, indent=1)
+
+    def load_calibration(self, source) -> None:
+        """Install activation scales saved by :meth:`save_calibration`
+        (a path or a {name: float} dict) and quantize weights. With the
+        same scales this reproduces calibrate_int8's params bit-for-bit,
+        without running a calibration forward."""
+        import json
+        assert self._int8_needed, "no TPU.INT8_* mode is enabled"
+        if isinstance(source, str):
+            with open(source) as f:
+                data = json.load(f)
+            scales = data.get("scales", data) if isinstance(data, dict) else data
+        else:
+            scales = dict(source)
+        params = dict(self.params)
+        for k, v in scales.items():
+            if not k.endswith(".in_scale"):
+                raise ValueError(f"not an activation-scale key: {k}")
+            params[k] = np.float32(max(float(v), 1e-8))
+        self._check_calibration_complete(params)
+        bases = self._int8_quant_bases(params)
+        if not bases:
+            raise ValueError(
+                "calibration contains no usable scales for this config")
+        missing = [b for b in bases if f"{b}.weight" not in params]
+        if missing:
+            raise ValueError(
+                f"calibration does not match this model: {missing[:3]}")
+        self._quantize_install(params, bases)
+
+    def _check_calibration_complete(self, params: Dict) -> None:
+        """Every int8 mode the config enables must be fully covered by the
+        loaded scales — a partial group would silently leave some layers
+        on the fp path (mirrors the per-section asserts in
+        calibrate_int8)."""
+        required = []
+        cfg = self.cfg
+        if getattr(cfg.TPU, "INT8_HEAD", False) and cfg.MODEL.DENSEPOSE_ON:
+            n = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
+            required += [f"roi_heads.densepose_head.body_conv_fcn{i + 1}.in_scale"
+                         for i in range(n)]
+        pp = "roi_heads.densepose_predictor"
+        if (getattr(cfg.TPU, "INT8_PREDICTOR", False) and cfg.MODEL.DENSEPOSE_ON
+                and all(f"{pp}.{h}.weight" in params
+                        for h in ("ann_index_lowres", "index_uv_lowres",
+                                  "u_lowres", "v_lowres"))):
+            required.append(f"{pp}.in_scale")
+        prefix = self.model.resnet_prefix()
+        if (getattr(cfg.TPU, "INT8_BACKBONE", False) and prefix is not None
+                and cfg.MODEL.RESNETS.DEPTH >= 50):
+            from .models.resnet import resnet_int8_scale_sites
+            required += resnet_int8_scale_sites(cfg, prefix)
+            if cfg.MODEL.BACKBONE.NAME == "build_resnet_fpn_backbone":
+                from .models.fpn import fpn_int8_scale_sites
+                required += fpn_int8_scale_sites(cfg)[0]
+        if (getattr(cfg.TPU, "INT8_RPN", False)
+                and cfg.MODEL.BACKBONE.NAME == "build_resnet_fpn_backbone"):
+            from .models.fpn import fpn_int8_scale_sites
+            required += fpn_int8_scale_sites(cfg)[1]
+        missing = [k for k in required if k not in params]
+        if missing:
+            raise ValueError(
+                f"calibration is missing {len(missing)} scales required by "
+                f"the enabled TPU.INT8_* modes, e.g. {missing[:3]}")
 
     def __call__(self, image_bgr_u8: np.ndarray) -> Dict[str, jnp.ndarray]:
         """image: (H, W, 3) uint8 BGR (the run.py contract). Returns device

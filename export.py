@@ -44,6 +44,13 @@ def main():
                              "for these input shapes (e.g. 720x1280,1080x1920) — "
                              "the compiled-graph analogue of the reference's "
                              "TorchScript .pt")
+    parser.add_argument("--calib", nargs="+", metavar="IMG", default=None,
+                        help="Representative images for int8 post-training "
+                             "calibration; writes <bundle>.calib.json, which "
+                             "the predictor auto-loads so deployments never "
+                             "run (or depend on) a runtime calibration pass. "
+                             "Enables TPU.INT8_HEAD unless --opts already "
+                             "select TPU.INT8_* modes")
     parser.add_argument("--opts", nargs="*", default=[],
                         help="Extra dotted-key config overrides")
     args = parser.parse_args()
@@ -85,6 +92,27 @@ def main():
     with open(out_path + ".config.json", "w") as f:
         json.dump(cfg.dump_dict(), f, indent=1, default=str)
     print(f"Model saved to {out_path}")
+
+    if args.calib:
+        import cv2
+        from densepose_tpu.predictor import DensePosePredictor
+        ccfg = cfg.clone()
+        ccfg.defrost()
+        if not (ccfg.TPU.INT8_HEAD or ccfg.TPU.INT8_BACKBONE
+                or ccfg.TPU.INT8_RPN or ccfg.TPU.INT8_PREDICTOR):
+            ccfg.TPU.INT8_HEAD = True
+        ccfg.freeze()
+        frames = []
+        for p in args.calib:
+            im = cv2.imread(p)
+            if im is None:
+                raise SystemExit(f"--calib: cannot read image {p}")
+            frames.append(im)
+        pred = DensePosePredictor(ccfg, weights_path=out_path)
+        pred.calibrate_int8(frames)
+        pred.save_calibration(out_path + ".calib.json")
+        print(f"int8 calibration ({len(frames)} frames) saved to "
+              f"{out_path}.calib.json")
 
     if args.aot:
         from densepose_tpu.predictor import DensePosePredictor

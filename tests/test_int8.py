@@ -428,3 +428,106 @@ def test_predictor_int8_deconv_autocalibration_and_envelope():
         denom = np.abs(w).max() + 1e-9
         assert np.max(np.abs(g - w)) / denom < 0.2, (
             k, float(np.max(np.abs(g - w)) / denom))
+
+
+# ---------------------------------------------------------------------------
+# calibration persistence (save_calibration / load_calibration / sidecar)
+# ---------------------------------------------------------------------------
+
+_TINY_ZOO = [
+    "INPUT.MIN_SIZE_TEST", "64",
+    "INPUT.MAX_SIZE_TEST", "128",
+    "MODEL.RPN.PRE_NMS_TOPK_TEST", "100",
+    "MODEL.RPN.POST_NMS_TOPK_TEST", "40",
+    "TEST.DETECTIONS_PER_IMAGE", "3",
+]
+
+
+def _tiny_zoo_cfg(extra):
+    from densepose_tpu import model_zoo
+    cfg = model_zoo.get_config("densepose_rcnn_R_50_FPN_s1x").clone()
+    cfg.defrost()
+    cfg.merge_from_list(_TINY_ZOO + list(extra))
+    cfg.freeze()
+    return cfg
+
+
+def test_calibration_save_load_roundtrip(tmp_path):
+    """Scales saved by a calibrated predictor and loaded into a fresh one
+    (same weights) reproduce the calibrated params bit-for-bit with no
+    calibration forward — the full serving stack (backbone+RPN+head), so
+    every scale group exercises the derived-bases path."""
+    from densepose_tpu.predictor import DensePosePredictor
+
+    img = (np.random.RandomState(3).rand(48, 64, 3) * 255).astype(np.uint8)
+    cfg = _tiny_zoo_cfg(["TPU.INT8_HEAD", "True",
+                         "TPU.INT8_BACKBONE", "True",
+                         "TPU.INT8_RPN", "True"])
+    a = DensePosePredictor(cfg, seed=0)
+    a.calibrate_int8([img])
+    want = a.predict_numpy(img)
+
+    # the presence-derived base list must equal what calibration installed
+    derived = set(a._int8_quant_bases(a.params))
+    installed = {k[:-len(".qweight")] for k in a.params
+                 if k.endswith(".qweight")}
+    assert derived == installed
+
+    path = str(tmp_path / "c.json")
+    a.save_calibration(path)
+    b = DensePosePredictor(cfg, seed=0)
+    assert not b._int8_ready
+    b.load_calibration(path)
+    assert b._int8_ready
+    # identical param pytrees: same keys, bit-equal scales and qweights
+    assert set(a.params) == set(b.params)
+    for k in a.params:
+        np.testing.assert_array_equal(np.asarray(a.params[k]),
+                                      np.asarray(b.params[k]), err_msg=k)
+    got = b.predict_numpy(img)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(want[k]),
+                                      np.asarray(got[k]), err_msg=k)
+
+
+def test_calibration_sidecar_autoload(tmp_path):
+    """A <weights>.calib.json sidecar next to the weights bundle restores
+    the int8 scales at construction (export.py --calib deployment flow)."""
+    from densepose_tpu.checkpoint.transform import random_torch_state
+    from densepose_tpu.models.rcnn import build_model
+    from densepose_tpu.predictor import DensePosePredictor
+
+    img = (np.random.RandomState(5).rand(48, 64, 3) * 255).astype(np.uint8)
+    cfg = _tiny_zoo_cfg(["TPU.INT8_HEAD", "True"])
+    bundle = str(tmp_path / "m.npz")
+    np.savez(bundle, **random_torch_state(build_model(cfg).spec(), seed=0))
+
+    a = DensePosePredictor(cfg, weights_path=bundle)
+    assert not a._int8_ready  # no sidecar yet
+    a.calibrate_int8([img])
+    want = a.predict_numpy(img)
+    a.save_calibration(bundle + ".calib.json")
+
+    b = DensePosePredictor(cfg, weights_path=bundle)
+    assert b._int8_ready  # sidecar auto-loaded; no calibration pass needed
+    got = b.predict_numpy(img)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(want[k]),
+                                      np.asarray(got[k]), err_msg=k)
+
+
+def test_load_calibration_validation(tmp_path):
+    """Partial/mismatched calibration files are rejected instead of
+    silently leaving layers on the fp path."""
+    from densepose_tpu.predictor import DensePosePredictor
+
+    cfg = _tiny_zoo_cfg(["TPU.INT8_HEAD", "True"])
+    pred = DensePosePredictor(cfg, seed=0)
+    # a non-scale key
+    with pytest.raises(ValueError):
+        pred.load_calibration({"roi_heads.densepose_head.body_conv_fcn1.weight": 1.0})
+    # a partial head group (missing conv scales)
+    with pytest.raises(ValueError):
+        pred.load_calibration(
+            {"roi_heads.densepose_head.body_conv_fcn1.in_scale": 0.01})
+    assert not pred._int8_ready
