@@ -1,0 +1,364 @@
+"""THE REFERENCE ITSELF AS ORACLE: run the reference's own torch modules
+(/root/reference — GeneralizedRCNN.inference, rcnn.py:110-197, via
+DefaultPredictor, engine/defaults.py:50-97) end-to-end on CPU under the
+tools/refshim.py shim layer, at REAL channel widths, with shared random
+weights — and assert our pipeline matches the reference's own forward stage
+by stage (stem, res2-5, p2-p6, RPN proposals, detections, SIUV maps, final
+postprocessed output).
+
+This replaces trust in the builder-authored twin (tests/test_realscale_parity
+.py) with the reference code itself: any semantic misreading shared by our
+pipeline and the twin fails here (VERDICT r2 missing #1).
+
+The only non-reference code in the oracle path is the torchvision kernel
+stand-ins (roi_align / nms), which the reference consumes as binaries; they
+are pinned to the documented torchvision algorithm via the slow loop oracles
+in tests/reference_ops.py (equivalence tests below).
+
+The input geometry pins k=1 (MIN_SIZE_TEST == min image side) so both sides
+resize trivially and the torch-uint8-resize-kernel divergence (a separately
+tested preprocess property, test_realscale_parity.py::
+test_torch_uint8_resize_divergence_is_one_lsb) cannot leak into stage
+comparisons; normalize/pad parity IS asserted here, exactly.
+
+Everything is slow (two full real-width CPU forwards) — marked @slow.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from densepose_tpu import model_zoo
+from densepose_tpu.checkpoint.transform import torch_state_to_jax
+from densepose_tpu.models.rcnn import build_model
+from tests.reference_ops import nms_np, roi_align_np
+
+pytestmark = pytest.mark.slow
+
+RNG = np.random.RandomState(20250819)
+
+# 440x592 uint8 image; MIN_SIZE_TEST=440 / MAX_SIZE_TEST=1000 -> k = 1.0
+# (no resize), padded to 448x608. Real channel widths everywhere.
+H0, W0 = 440, 592
+_ALIAS_MARKERS = (".stages.", ".lateral_convs.", ".output_convs.",
+                  ".scale_heads.", ".stacked_convs.")
+_OVERRIDES = dict(
+    MIN_SIZE=440, MAX_SIZE=1000, SCORE_THRESH=0.3, DETECTIONS=24)
+
+
+# ---------------------------------------------------------------------------
+# the fast torchvision stand-ins == the slow loop oracles
+# ---------------------------------------------------------------------------
+
+def test_fast_roi_align_matches_slow_oracle():
+    from refshim import roi_align_np_fast
+    feat = RNG.randn(13, 17, 6).astype(np.float32)
+    boxes = np.array([
+        [0.0, 0.0, 16.9, 12.9],
+        [2.3, 1.1, 9.7, 11.2],
+        [-3.0, -2.0, 5.0, 4.0],     # out-of-range samples -> border zeros
+        [4.0, 4.0, 4.0, 4.0],       # degenerate
+        [15.0, 11.0, 30.0, 25.0],   # clipped at the top edge
+    ], dtype=np.float64)
+    for scale in (1.0, 0.5):
+        for sr in (0, 2):
+            for aligned in (True, False):
+                want = roi_align_np(feat, boxes, scale, (7, 5), sr, aligned)
+                got = roi_align_np_fast(feat, boxes, scale, (7, 5), sr, aligned)
+                # identical sample grids and border rules; only the
+                # multiply-association order differs (float32 feat values),
+                # so agreement is to float32 roundoff, not exact
+                np.testing.assert_allclose(got, want, atol=1e-6,
+                                           err_msg=f"{scale} {sr} {aligned}")
+
+
+def test_fast_nms_matches_slow_oracle():
+    from refshim import nms_np_fast
+    for trial in range(5):
+        r = np.random.RandomState(trial)
+        n = 200
+        xy = r.rand(n, 2) * 60
+        wh = r.rand(n, 2) * 30 + 1
+        boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        scores = r.rand(n).astype(np.float32)
+        for thresh in (0.3, 0.5, 0.7):
+            want = nms_np(boxes, scores, thresh)
+            got = nms_np_fast(boxes, scores, thresh)
+            np.testing.assert_array_equal(got, want, err_msg=f"{trial} {thresh}")
+
+
+# ---------------------------------------------------------------------------
+# shared weights + both forwards, cached once per process
+# ---------------------------------------------------------------------------
+
+def _make_state(spec, scale=0.04):
+    """Random weights at real widths (same recipe as test_realscale_parity:
+    small conv std so activations survive the 50-conv backbone)."""
+    state = {}
+    for name, ps in spec.items():
+        if name.endswith("running_var"):
+            state[name] = (RNG.rand(*ps.shape) * 0.5 + 0.75).astype(np.float32)
+        elif name.endswith("running_mean"):
+            state[name] = (RNG.randn(*ps.shape) * 0.05).astype(np.float32)
+        elif name.endswith(".norm.weight"):
+            state[name] = (RNG.rand(*ps.shape) * 0.5 + 0.75).astype(np.float32)
+        elif name.endswith(".norm.bias"):
+            state[name] = (RNG.randn(*ps.shape) * 0.05).astype(np.float32)
+        else:
+            state[name] = (RNG.randn(*ps.shape) * scale).astype(np.float32)
+    return state
+
+
+def _our_cfg():
+    cfg = model_zoo.get_config("densepose_rcnn_R_50_FPN_s1x").clone()
+    cfg.defrost()
+    cfg.INPUT.MIN_SIZE_TEST = _OVERRIDES["MIN_SIZE"]
+    cfg.INPUT.MAX_SIZE_TEST = _OVERRIDES["MAX_SIZE"]
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = _OVERRIDES["SCORE_THRESH"]
+    cfg.TEST.DETECTIONS_PER_IMAGE = _OVERRIDES["DETECTIONS"]
+    cfg.freeze()
+    return cfg
+
+
+def _reference_run(image, state):
+    """Build the reference's own model, install the shared weights, run
+    DefaultPredictor.forward with per-stage hooks. Returns taps + output."""
+    from refshim import import_reference
+    get_cfg, _, add_densepose_config = import_reference()
+    from detectron2.engine.defaults import DefaultPredictor
+
+    cfg = get_cfg()
+    add_densepose_config(cfg)
+    cfg.merge_from_file(
+        "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml")
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.WEIGHTS = ""
+    cfg.INPUT.MIN_SIZE_TEST = _OVERRIDES["MIN_SIZE"]
+    cfg.INPUT.MAX_SIZE_TEST = _OVERRIDES["MAX_SIZE"]
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = _OVERRIDES["SCORE_THRESH"]
+    cfg.TEST.DETECTIONS_PER_IMAGE = _OVERRIDES["DETECTIONS"]
+    cfg.freeze()
+
+    torch.manual_seed(0)
+    pred = DefaultPredictor(cfg)
+    model = pred.model
+    model.eval()
+
+    sd = {k: torch.from_numpy(v) for k, v in state.items()}
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected[:5]
+    leftovers = [k for k in missing
+                 if not any(m in k for m in _ALIAS_MARKERS)
+                 and k not in ("pixel_mean", "pixel_std")
+                 and "cell_anchors" not in k]
+    assert not leftovers, leftovers[:5]
+
+    taps = {}
+
+    # forward hooks MUST return None (a non-None return replaces the
+    # module's output), so each tap is a statement-bodied function
+    def _tap_stem(m, i, o):
+        taps["stem"] = o.detach()
+
+    def _tap_bottom_up(m, i, o):
+        taps.update({k: v.detach() for k, v in o.items()})
+
+    def _tap_backbone(m, i, o):
+        taps["padded_input"] = i[0].detach()
+        taps.update({k: v.detach() for k, v in o.items()})
+
+    def _tap_rpn(m, i, o):
+        taps["proposals"] = {k: v.detach() for k, v in o[0][0].items()}
+
+    hooks = [
+        model.backbone.bottom_up.stem.register_forward_hook(_tap_stem),
+        model.backbone.bottom_up.register_forward_hook(_tap_bottom_up),
+        model.backbone.register_forward_hook(_tap_backbone),
+        model.proposal_generator.register_forward_hook(_tap_rpn),
+    ]
+    with torch.no_grad():
+        out = pred(torch.from_numpy(image), bgr=True)
+    for h in hooks:
+        h.remove()
+    return taps, {k: (v.detach() if torch.is_tensor(v) else v)
+                  for k, v in out.items()}
+
+
+_CACHE = {}
+
+
+def setup():
+    if _CACHE:
+        return _CACHE
+    cfg = _our_cfg()
+    model = build_model(cfg)
+    spec = model.spec()
+    state = _make_state(spec)
+    image = (RNG.rand(H0, W0, 3) * 255).astype(np.uint8)
+
+    # ---- the reference's own forward ----
+    ref_taps, ref_out = _reference_run(image, state)
+
+    # ---- ours, stage-tapped (fp32 CPU, exact-parity unfolded BN) ----
+    from densepose_tpu.models.fpn import fpn_forward
+    from densepose_tpu.models.resnet import resnet_forward
+    from densepose_tpu.models.roi_heads import (box_stage_forward,
+                                                densepose_stage_forward)
+    from densepose_tpu.models.rpn import rpn_forward
+
+    params = {k: jnp.asarray(v)
+              for k, v in torch_state_to_jax(state, spec, fold_bn=False).items()}
+    x, (h1, w1), (hp, wp) = model.preprocess(jnp.asarray(image), (H0, W0))
+    assert (h1, w1) == (H0, W0), "k must be exactly 1 for this test"
+    stages = jax.jit(lambda pp, xx: resnet_forward(
+        pp, xx, cfg, out_features=("res2", "res3", "res4", "res5")))(params, x)
+    feats = jax.jit(lambda pp, xx: fpn_forward(pp, xx, cfg))(params, x)
+    proposals, obj, pvalid = jax.jit(
+        lambda pp, ff: rpn_forward(pp, ff, (hp, wp), cfg))(params, feats)
+    boxes_net, scores, classes, dvalid = jax.jit(
+        lambda pp, ff, pr, pv: box_stage_forward(pp, ff, pr, pv, cfg))(
+        params, feats, proposals, pvalid)
+    dp = jax.jit(lambda pp, ff, bb: densepose_stage_forward(pp, ff, bb, cfg))(
+        params, feats, boxes_net)
+
+    # ---- ours, the full user-facing pipeline (jit graph + postprocess) ----
+    from densepose_tpu.predictor import DensePosePredictor
+    full = DensePosePredictor(
+        cfg, params=torch_state_to_jax(state, spec,
+                                       fold_bn=cfg.TPU.FOLD_FROZEN_BN))
+    full_out = full.predict_numpy(image)
+
+    _CACHE.update(dict(
+        cfg=cfg, state=state, image=image, x=x,
+        stages=stages, feats=feats, proposals=proposals, obj=obj,
+        pvalid=pvalid, boxes_net=boxes_net, scores=scores, classes=classes,
+        dvalid=dvalid, dp=dp, full_out=full_out,
+        ref_taps=ref_taps, ref_out=ref_out))
+    return _CACHE
+
+
+def _nchw(a):
+    a = np.asarray(a)
+    return a[None].transpose(0, 3, 1, 2) if a.ndim == 3 else a.transpose(0, 3, 1, 2)
+
+
+def _assert_stage(got, want_t, name, rel=2e-3):
+    want = want_t.numpy() if torch.is_tensor(want_t) else np.asarray(want_t)
+    got = _nchw(got)
+    assert got.shape == want.shape, (name, got.shape, want.shape)
+    scale = max(float(np.std(want)), 1e-6)
+    err = float(np.max(np.abs(got - want))) / scale
+    assert err < rel, f"{name}: normalized max err {err:.2e} (scale {scale:.3g})"
+
+
+# ---------------------------------------------------------------------------
+# stage-by-stage: our pipeline vs the reference's own forward
+# ---------------------------------------------------------------------------
+
+def test_preprocess_exact_vs_reference():
+    """k=1: the reference's normalize+pad (rcnn.py:156-181) and ours must
+    agree to float roundoff — this also proves torch's uint8 resize kernel
+    is exact at identity scale."""
+    c = setup()
+    got = _nchw(c["x"])
+    want = c["ref_taps"]["padded_input"].numpy()
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_backbone_stages_vs_reference():
+    c = setup()
+    for name in ("res2", "res3", "res4", "res5"):
+        _assert_stage(c["stages"][name], c["ref_taps"][name], name)
+
+
+def test_fpn_levels_vs_reference():
+    c = setup()
+    for name in ("p2", "p3", "p4", "p5", "p6"):
+        _assert_stage(c["feats"][name], c["ref_taps"][name], name)
+
+
+def test_rpn_proposals_vs_reference():
+    c = setup()
+    n = int(np.asarray(c["pvalid"]).sum())
+    tprops = c["ref_taps"]["proposals"]["proposal_boxes"].numpy()
+    tscores = c["ref_taps"]["proposals"]["objectness_logits"].numpy()
+    assert n == len(tscores), (n, len(tscores))
+    np.testing.assert_allclose(np.asarray(c["obj"])[:n], tscores,
+                               atol=1e-4, rtol=1e-4)
+    got_boxes = np.asarray(c["proposals"])[:n]
+
+    def degen(b):
+        return (b[:, 2] - b[:, 0] <= 0) | (b[:, 3] - b[:, 1] <= 0)
+
+    dg, dt = degen(got_boxes), degen(tprops)
+    assert dg.sum() == dt.sum(), (int(dg.sum()), int(dt.sum()))
+    keep = ~(dg & dt)
+    np.testing.assert_allclose(got_boxes[keep], tprops[keep],
+                               atol=0.05, rtol=1e-4)
+
+
+def test_detections_vs_reference():
+    c = setup()
+    n = int(np.asarray(c["dvalid"]).sum())
+    rs = c["ref_out"]["scores"].numpy()
+    rb = c["ref_out"]["pred_boxes"].numpy()
+    rc = c["ref_out"]["pred_classes"].numpy()
+    assert n == len(rs), (n, len(rs))
+    np.testing.assert_allclose(np.asarray(c["scores"])[:n], rs,
+                               atol=1e-4, rtol=1e-3)
+    # k=1: detector_postprocess rescale is identity, so network coords ==
+    # final coords up to the (h1,w1) clip both sides apply
+    np.testing.assert_allclose(np.asarray(c["boxes_net"])[:n], rb,
+                               atol=0.1, rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(c["classes"])[:n], rc)
+
+
+def test_siuv_maps_vs_reference():
+    c = setup()
+    n = int(np.asarray(c["dvalid"]).sum())
+    keymap = dict(coarse_segm="pred_densepose_coarse_segm",
+                  fine_segm="pred_densepose_fine_segm",
+                  u="pred_densepose_u", v="pred_densepose_v")
+    for key, refkey in keymap.items():
+        got = _nchw(np.asarray(c["dp"][key])[:n])
+        want = c["ref_out"][refkey].numpy()[:n]
+        assert got.shape == want.shape, (key, got.shape, want.shape)
+        scale = max(float(np.std(want)), 1e-6)
+        err = float(np.max(np.abs(got - want))) / scale
+        assert err < 5e-3, f"{key}: normalized max err {err:.2e}"
+
+
+def test_full_pipeline_output_vs_reference():
+    """The user-facing DensePosePredictor output (one jitted graph with
+    FrozenBN folding, device postprocess path, host trim) against the
+    reference DefaultPredictor's final dict — whole-pipeline, not
+    stage-tapped."""
+    c = setup()
+    full, ref = c["full_out"], c["ref_out"]
+    assert full["num_instances"] == len(ref["scores"])
+    np.testing.assert_array_equal(full["image_size"],
+                                  ref["image_size"].numpy())
+    np.testing.assert_allclose(full["scores"], ref["scores"].numpy(),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(full["pred_boxes"], ref["pred_boxes"].numpy(),
+                               atol=0.15, rtol=1e-3)
+    np.testing.assert_array_equal(full["pred_classes"],
+                                  ref["pred_classes"].numpy())
+    for key in ("pred_densepose_coarse_segm", "pred_densepose_fine_segm",
+                "pred_densepose_u", "pred_densepose_v"):
+        want = ref[key].numpy()
+        got = np.asarray(full[key])
+        assert got.shape == want.shape, (key, got.shape, want.shape)
+        scale = max(float(np.std(want)), 1e-6)
+        err = float(np.max(np.abs(got - want))) / scale
+        assert err < 1e-2, f"{key}: normalized max err {err:.2e}"

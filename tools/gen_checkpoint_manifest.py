@@ -26,166 +26,12 @@ Usage: python tools/gen_checkpoint_manifest.py
 import json
 import os
 import sys
-import types
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def install_shims():
-    import torch.nn.init as tinit
-
-    from densepose_tpu.config import CfgNode as OurCfgNode
-    from densepose_tpu.config import load_yaml_with_base
-
-    # -- fvcore.nn.weight_init (only called at module build; values unused)
-    weight_init = types.ModuleType("fvcore.nn.weight_init")
-
-    def c2_msra_fill(module):
-        tinit.kaiming_normal_(module.weight, mode="fan_out", nonlinearity="relu")
-        if module.bias is not None:
-            tinit.constant_(module.bias, 0)
-
-    def c2_xavier_fill(module):
-        tinit.kaiming_uniform_(module.weight, a=1)
-        if module.bias is not None:
-            tinit.constant_(module.bias, 0)
-
-    weight_init.c2_msra_fill = c2_msra_fill
-    weight_init.c2_xavier_fill = c2_xavier_fill
-
-    # -- fvcore.common.registry.Registry
-    registry_mod = types.ModuleType("fvcore.common.registry")
-
-    class Registry:
-        def __init__(self, name):
-            self._name = name
-            self._map = {}
-
-        def register(self, obj=None):
-            if obj is None:
-                def deco(fn_or_class):
-                    self._map[fn_or_class.__name__] = fn_or_class
-                    return fn_or_class
-                return deco
-            self._map[obj.__name__] = obj
-            return obj
-
-        def get(self, name):
-            return self._map[name]
-
-        def __contains__(self, name):
-            return name in self._map
-
-    registry_mod.Registry = Registry
-
-    # -- fvcore.common.config.CfgNode: our CfgNode + the classmethods the
-    # reference's subclass calls (merge_from_file -> load_yaml_with_base)
-    config_mod = types.ModuleType("fvcore.common.config")
-
-    class CfgNode(OurCfgNode):
-        @classmethod
-        def load_yaml_with_base(cls, filename, allow_unsafe=True):
-            return load_yaml_with_base(filename)
-
-    config_mod.CfgNode = CfgNode
-
-    # -- fvcore.common.checkpoint.Checkpointer (imported, not exercised)
-    ckpt_mod = types.ModuleType("fvcore.common.checkpoint")
-
-    class Checkpointer:
-        def __init__(self, model, save_dir="", *, save_to_disk=None, **extras):
-            self.model = model
-
-    ckpt_mod.Checkpointer = Checkpointer
-
-    # -- iopath.common.file_io stubs
-    iopath_mod = types.ModuleType("iopath.common.file_io")
-
-    class PathHandler:
-        pass
-
-    class HTTPURLHandler(PathHandler):
-        pass
-
-    class OneDrivePathHandler(PathHandler):
-        pass
-
-    class PathManager:
-        def register_handler(self, handler, allow_override=False):
-            pass
-
-        def open(self, path, mode="r", **kw):
-            return open(path, mode)
-
-        def isfile(self, path):
-            return os.path.isfile(path)
-
-        def get_local_path(self, path, **kw):
-            return path
-
-    iopath_mod.PathManager = PathManager
-    iopath_mod.PathHandler = PathHandler
-    iopath_mod.HTTPURLHandler = HTTPURLHandler
-    iopath_mod.OneDrivePathHandler = OneDrivePathHandler
-
-    # -- omegaconf stub (config.py:872 isinstance check only)
-    omegaconf = types.ModuleType("omegaconf")
-
-    class DictConfig:  # never instantiated here
-        pass
-
-    omegaconf.DictConfig = DictConfig
-
-    # -- torchvision stubs (ops are never called at model-build time)
-    tv = types.ModuleType("torchvision")
-    tv.__version__ = "0.16.2"  # parsed by layers/roi_align.py:43-45
-    tv_ops = types.ModuleType("torchvision.ops")
-
-    def _unavailable(*a, **k):
-        raise NotImplementedError("torchvision stub: op not available")
-
-    tv_ops.roi_align = _unavailable
-    tv_ops.nms = _unavailable
-
-    class RoIPool:
-        def __init__(self, *a, **k):
-            raise NotImplementedError("torchvision stub")
-
-    tv_ops.RoIPool = RoIPool
-    tv_boxes = types.ModuleType("torchvision.ops.boxes")
-    tv_boxes.batched_nms = _unavailable
-    tv_boxes.nms = _unavailable
-    tv_ops.boxes = tv_boxes
-    tv.ops = tv_ops
-
-    fvcore = types.ModuleType("fvcore")
-    fvcore.nn = types.ModuleType("fvcore.nn")
-    fvcore.nn.weight_init = weight_init
-    fvcore.common = types.ModuleType("fvcore.common")
-    fvcore.common.registry = registry_mod
-    fvcore.common.config = config_mod
-    fvcore.common.checkpoint = ckpt_mod
-    iopath = types.ModuleType("iopath")
-    iopath.common = types.ModuleType("iopath.common")
-    iopath.common.file_io = iopath_mod
-
-    sys.modules.update({
-        "fvcore": fvcore,
-        "fvcore.nn": fvcore.nn,
-        "fvcore.nn.weight_init": weight_init,
-        "fvcore.common": fvcore.common,
-        "fvcore.common.registry": registry_mod,
-        "fvcore.common.config": config_mod,
-        "fvcore.common.checkpoint": ckpt_mod,
-        "iopath": iopath,
-        "iopath.common": iopath.common,
-        "iopath.common.file_io": iopath_mod,
-        "torchvision": tv,
-        "torchvision.ops": tv_ops,
-        "torchvision.ops.boxes": tv_boxes,
-        "omegaconf": omegaconf,
-    })
+from refshim import install_shims  # noqa: E402  (shared shim layer)
 
 
 # zoo name -> (config yaml, checkpoint file the zoo serves, or None when the
