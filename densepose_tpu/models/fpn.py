@@ -105,15 +105,18 @@ def fpn_int8_scale_sites(cfg, prefix: str = "backbone",
     return fpn_sites, rpn_sites
 
 
-def fpn_int8_calibration(p, x, cfg, prefix: str = "backbone") -> jnp.ndarray:
-    """fp pass recording the FPN output convs' input maxima and the RPN
-    features' maxima (p6 computed exactly from the pooled p5), in
-    ``fpn_int8_scale_sites`` order. ``x``: preprocessed network input."""
+def fpn_int8_calibration(p, x, cfg, prefix: str = "backbone",
+                         stat: str = "max") -> jnp.ndarray:
+    """fp pass recording the FPN output convs' input statistic and the RPN
+    features' statistic (p6 computed exactly from the pooled p5), in
+    ``fpn_int8_scale_sites`` order (``stat``: see ops/conv.py::act_stat).
+    ``x``: preprocessed network input."""
+    from ..ops.conv import act_stat
     in_features: List[str] = list(cfg.MODEL.FPN.IN_FEATURES)
     bottom_up = resnet_forward(p, x, cfg, prefix=f"{prefix}.bottom_up",
                                out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES))
     results: Dict[str, jnp.ndarray] = {}
-    maxes = []
+    stats = []
     prev = None
     for f in reversed(in_features):
         stage = _STAGE_LOG2[f]
@@ -122,7 +125,8 @@ def fpn_int8_calibration(p, x, cfg, prefix: str = "backbone") -> jnp.ndarray:
         if prev is not None:
             lateral = lateral + upsample2x_nearest(prev)
         prev = lateral
-        maxes.append(jnp.max(jnp.abs(prev.astype(jnp.float32))))
+        stats.append(act_stat(prev, stat, p,
+                              f"{prefix}.fpn_output{stage}.in_scale"))
         results[f"p{stage}"] = conv2d(
             prev, p[f"{prefix}.fpn_output{stage}.weight"],
             p.get(f"{prefix}.fpn_output{stage}.bias"), padding=1)
@@ -130,8 +134,9 @@ def fpn_int8_calibration(p, x, cfg, prefix: str = "backbone") -> jnp.ndarray:
     results[f"p{top + 1}"] = max_pool2d(results[f"p{top}"],
                                         kernel_size=1, stride=2)
     for f in cfg.MODEL.RPN.IN_FEATURES:
-        maxes.append(jnp.max(jnp.abs(results[f].astype(jnp.float32))))
-    return jnp.stack(maxes)
+        stats.append(act_stat(results[f], stat, p,
+                              f"proposal_generator.rpn_head.conv.in_scale_{f}"))
+    return jnp.stack(stats)
 
 
 def fpn_forward(

@@ -205,11 +205,16 @@ class GeneralizedRCNN:
         return None
 
     def forward_int8_calibration(self, params: Dict, image_u8: jnp.ndarray,
-                                 compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
-        """Full fp pass collecting the activation maxima that seed the static
-        int8 scales (predictor.calibrate_int8): ``head`` — the DensePose
-        stacked-conv input maxima (TPU.INT8_HEAD), ``backbone`` — the
-        per-block quantization-site maxima (TPU.INT8_BACKBONE)."""
+                                 compute_dtype=jnp.float32,
+                                 stat: str = "max") -> Dict[str, jnp.ndarray]:
+        """Full fp pass collecting a per-quantization-site activation
+        statistic: ``stat="max"`` seeds the static int8 scales
+        (predictor.calibrate_int8); ``stat="sat"`` measures the fraction of
+        values outside the installed clip range
+        (predictor.saturation_report). Groups: ``head`` — the DensePose
+        stacked-conv inputs (TPU.INT8_HEAD), ``backbone`` — the per-block
+        quantization sites (TPU.INT8_BACKBONE), ``fpn`` — FPN output-conv +
+        RPN-conv inputs."""
         cfg = self.cfg
         out = {}
         if ((getattr(cfg.TPU, "INT8_HEAD", False)
@@ -219,21 +224,22 @@ class GeneralizedRCNN:
             _, features, boxes_net = self.forward_stage1(
                 params, image_u8, compute_dtype)
             out["head"] = densepose_stacked_calibration(
-                params, features, boxes_net, cfg)
+                params, features, boxes_net, cfg, stat=stat)
         prefix = self.resnet_prefix()
         if (getattr(cfg.TPU, "INT8_BACKBONE", False) and prefix is not None
                 and cfg.MODEL.RESNETS.DEPTH >= 50):
             from .resnet import resnet_int8_calibration
             h0, w0 = image_u8.shape[0], image_u8.shape[1]
             x, _, _ = self.preprocess(image_u8, (h0, w0), compute_dtype)
-            out["backbone"] = resnet_int8_calibration(params, x, cfg, prefix)
+            out["backbone"] = resnet_int8_calibration(params, x, cfg, prefix,
+                                                      stat=stat)
         if ((getattr(cfg.TPU, "INT8_BACKBONE", False)
              or getattr(cfg.TPU, "INT8_RPN", False))
                 and cfg.MODEL.BACKBONE.NAME == "build_resnet_fpn_backbone"):
             from .fpn import fpn_int8_calibration
             h0, w0 = image_u8.shape[0], image_u8.shape[1]
             x, _, _ = self.preprocess(image_u8, (h0, w0), compute_dtype)
-            out["fpn"] = fpn_int8_calibration(params, x, cfg)
+            out["fpn"] = fpn_int8_calibration(params, x, cfg, stat=stat)
         return out
 
     def forward_densepose_switched(self, params: Dict, features: Dict,

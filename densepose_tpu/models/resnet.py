@@ -253,30 +253,33 @@ def resnet_int8_scale_sites(cfg, prefix: str = "backbone.bottom_up",
 
 def resnet_int8_calibration(p: Dict, x: jnp.ndarray, cfg,
                             prefix: str = "backbone.bottom_up",
-                            out_features=("res2", "res3", "res4", "res5")
-                            ) -> jnp.ndarray:
-    """fp pass over the backbone recording each quantization site's max-abs
-    activation (the tensor feeding conv1/conv2/conv3 of every block), in
+                            out_features=("res2", "res3", "res4", "res5"),
+                            stat: str = "max") -> jnp.ndarray:
+    """fp pass over the backbone recording each quantization site's
+    activation statistic (``stat="max"``: max-abs of the tensor feeding
+    conv1/conv2/conv3 of every block, seeds the scales; ``stat="sat"``:
+    fraction outside the installed clip range), in
     ``resnet_int8_scale_sites`` order. ``x``: preprocessed network input."""
+    from ..ops.conv import act_stat
     stride_in_1x1 = cfg.MODEL.RESNETS.STRIDE_IN_1X1
     x = jax.nn.relu(stem_conv_norm(p, f"{prefix}.stem.conv1", x))
     x = max_pool2d(x, kernel_size=3, stride=2, padding=1)
-    maxes = [jnp.max(jnp.abs(x.astype(jnp.float32)))]
+    stats = [act_stat(x, stat, p, f"{prefix}.res2.0.conv1.in_scale")]
     for _, name, stride, dil, has_sc, nxt, _ in _iter_blocks(
             cfg, prefix, _num_stages(out_features)):
         s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
         y1 = jax.nn.relu(_conv_norm(p, f"{name}.conv1", x, stride=s1))
-        maxes.append(jnp.max(jnp.abs(y1.astype(jnp.float32))))
+        stats.append(act_stat(y1, stat, p, f"{name}.conv2.in_scale"))
         y2 = jax.nn.relu(_conv_norm(p, f"{name}.conv2", y1, stride=s3,
                                     padding=dil, dilation=dil))
-        maxes.append(jnp.max(jnp.abs(y2.astype(jnp.float32))))
+        stats.append(act_stat(y2, stat, p, f"{name}.conv3.in_scale"))
         y3 = _conv_norm(p, f"{name}.conv3", y2)
         sc = (_conv_norm(p, f"{name}.shortcut", x, stride=stride)
               if has_sc else x)
         x = jax.nn.relu(y3 + sc)
         if nxt is not None:
-            maxes.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
-    return jnp.stack(maxes)
+            stats.append(act_stat(x, stat, p, f"{nxt}.conv1.in_scale"))
+    return jnp.stack(stats)
 
 
 def resnet_forward(

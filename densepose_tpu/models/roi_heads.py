@@ -644,10 +644,14 @@ def densepose_stacked_calibration(
     boxes: jnp.ndarray,
     cfg,
     prefix: str = "roi_heads",
+    stat: str = "max",
 ) -> jnp.ndarray:
     """fp walk of decoder -> pooler -> stacked head convs, returning the
-    per-layer INPUT max-abs values (n_stacked,) — the data that sets the
-    static int8 activation scales (predictor.calibrate_int8)."""
+    per-layer INPUT statistic (n_stacked,) — ``stat="max"`` (max-abs, the
+    data that sets the static int8 activation scales in
+    predictor.calibrate_int8) or ``stat="sat"`` (fraction outside the
+    installed clip range; predictor.saturation_report)."""
+    from ..ops.conv import act_stat
     hp = f"{prefix}.densepose_head"
     name = cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME
     n = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
@@ -658,19 +662,20 @@ def densepose_stacked_calibration(
         norm = cfg.MODEL.ROI_DENSEPOSE_HEAD.DEEPLAB.NORM
         # ASPP stays fp in int8 mode; chain input is its projection output
         x = _deeplab_aspp(p, x, cfg, hp)
-    maxima = []
+    stats = []
     for i in range(n):
         nm = f"{hp}.body_conv_fcn{i + 1}"
-        maxima.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        stats.append(act_stat(x, stat, p, f"{nm}.in_scale"))
         x = conv2d(x, p[f"{nm}.weight"], p.get(f"{nm}.bias"), padding=pad)
         if norm == "GN":
             x = group_norm(x, p[f"{nm}.norm.weight"], p[f"{nm}.norm.bias"], 32)
         x = jax.nn.relu(x)
     if getattr(cfg.TPU, "INT8_PREDICTOR", False):
-        # one extra slot: the head OUTPUT max = the chart predictor's
-        # deconv input scale (calibrate_int8 consumes it)
-        maxima.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
-    return jnp.stack(maxima)
+        # one extra slot: the head OUTPUT stat = the chart predictor's
+        # deconv input site (calibrate_int8 consumes the max)
+        stats.append(act_stat(x, stat, p,
+                              f"{prefix}.densepose_predictor.in_scale"))
+    return jnp.stack(stats)
 
 
 def roi_heads_forward(

@@ -191,6 +191,25 @@ def quant_act_s8(x: jnp.ndarray, scale) -> jnp.ndarray:
                     ).astype(jnp.int8)
 
 
+def act_stat(x: jnp.ndarray, stat: str, p=None, site: Optional[str] = None):
+    """Per-quantization-site activation statistic for the int8 calibration
+    walks (resnet/fpn/densepose ``*_int8_calibration``):
+
+    * ``"max"``  — max |x| (seeds the static scales; calibrate_int8)
+    * ``"sat"``  — fraction of values outside the installed clip range,
+      ``mean(|x| > 127 * p[site])`` (predictor.saturation_report). A site
+      whose scale is not installed (that INT8 group is disabled) reports 0.
+    """
+    x32 = jnp.abs(x.astype(jnp.float32))
+    if stat == "max":
+        return jnp.max(x32)
+    assert stat == "sat", stat
+    s = None if p is None else p.get(site)
+    if s is None:
+        return jnp.float32(0.0)
+    return jnp.mean((x32 > 127.0 * s).astype(jnp.float32))
+
+
 def quantize_weight_int8(w: jnp.ndarray):
     """Offline per-output-channel symmetric weight quantization:
     (kh, kw, Cin, Cout) f32/bf16 -> (qw s8, scale f32 (Cout,))."""

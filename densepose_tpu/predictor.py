@@ -98,18 +98,36 @@ class DensePosePredictor:
                                                False)))
                               and cfg.MODEL.DENSEPOSE_ON)
                              or (bool(getattr(cfg.TPU, "INT8_BACKBONE", False))
-                                 and self.model.resnet_prefix() is not None
-                                 and cfg.MODEL.RESNETS.DEPTH >= 50)
+                                 and ((self.model.resnet_prefix() is not None
+                                       and cfg.MODEL.RESNETS.DEPTH >= 50)
+                                      # the FPN output convs quantize at any
+                                      # depth (fpn.py::fpn_int8_active has no
+                                      # depth gate; only the bottleneck path
+                                      # requires depth >= 50)
+                                      or cfg.MODEL.BACKBONE.NAME
+                                      == "build_resnet_fpn_backbone"))
                              or (bool(getattr(cfg.TPU, "INT8_RPN", False))
                                  and cfg.MODEL.BACKBONE.NAME
                                  == "build_resnet_fpn_backbone"))
         self._int8_ready = False
+        # provenance of the installed scales: None | "explicit" | "sidecar"
+        # | "auto-single-frame" (the footgun saturation_report diagnoses)
+        self.calibration_source = None
         # offline-calibrated deployments: a <weights>.calib.json sidecar
         # (export.py --calib / save_calibration) restores the int8 scales
         # without a runtime calibration pass
         if (self._int8_needed and weights_path
                 and os.path.exists(weights_path + ".calib.json")):
-            self.load_calibration(weights_path + ".calib.json")
+            # a stale/partial/corrupt sidecar must not make the predictor
+            # unconstructible — fall back to runtime calibration and warn
+            # (explicit load_calibration() calls stay strict)
+            try:
+                self.load_calibration(weights_path + ".calib.json")
+                self.calibration_source = "sidecar"
+            except ValueError as e:
+                logger.warning(
+                    "ignoring calibration sidecar %s (%s); falling back to "
+                    "runtime auto-calibration", weights_path + ".calib.json", e)
 
     def _cast_param(self, name: str, v: np.ndarray):
         # Weights participating in MXU work go to the compute dtype; the fp32
@@ -198,6 +216,54 @@ class DensePosePredictor:
                     params[name] = np.float32(max(float(m) / 127.0, 1e-8))
                 quant_bases.append("proposal_generator.rpn_head.conv")
         self._quantize_install(params, quant_bases)
+        self.calibration_source = "explicit"
+
+    def _group_sites(self, group: str, count: int):
+        """Ordered activation-scale param names for one calibration group
+        (the name<->vector-position mapping calibrate_int8 uses inline)."""
+        cfg = self.cfg
+        if group == "head":
+            n = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
+            names = [f"roi_heads.densepose_head.body_conv_fcn{i + 1}.in_scale"
+                     for i in range(n)]
+            if count == n + 1:  # TPU.INT8_PREDICTOR adds the deconv input
+                names.append("roi_heads.densepose_predictor.in_scale")
+        elif group == "backbone":
+            from .models.resnet import resnet_int8_scale_sites
+            names = resnet_int8_scale_sites(cfg, self.model.resnet_prefix())
+        elif group == "fpn":
+            from .models.fpn import fpn_int8_scale_sites
+            fpn_sites, rpn_sites = fpn_int8_scale_sites(cfg)
+            names = fpn_sites + rpn_sites
+        else:
+            raise KeyError(group)
+        assert len(names) == count, (group, len(names), count)
+        return names
+
+    def saturation_report(self, frames) -> Dict[str, float]:
+        """Fraction of activation values outside the installed int8 clip
+        range (|x| > 127 * scale) per quantization site, maxed over
+        ``frames`` — the diagnostic for out-of-calibration-range inputs
+        (e.g. a frame hotter than the single auto-calibration frame).
+        Sites whose INT8 group is disabled report 0. Anything much above
+        ~1e-3 on a representative set means recalibrate with more frames."""
+        assert self._int8_ready, "no int8 calibration installed"
+        from functools import partial
+        fn = jax.jit(partial(self.model.forward_int8_calibration,
+                             compute_dtype=self.compute_dtype, stat="sat"))
+        agg: Dict[str, np.ndarray] = {}
+        for f in frames:
+            m = fn(self.params, jnp.asarray(np.asarray(f)))
+            for g, v in m.items():
+                v = np.asarray(v, np.float32)
+                agg[g] = v if g not in agg else np.maximum(agg[g], v)
+        report = {}
+        for g, vec in agg.items():
+            for name, v in zip(self._group_sites(g, len(vec)), vec):
+                if name in self.params:  # only sites actually quantized
+                    report[name[:-len(".in_scale")] if name.endswith(".in_scale")
+                           else name] = float(v)
+        return report
 
     def _quantize_install(self, params: Dict, quant_bases) -> None:
         """Per-channel-quantize ``quant_bases``'s conv weights and install
@@ -260,10 +326,15 @@ class DensePosePredictor:
 
     def export_calibration(self) -> Dict[str, float]:
         """The int8 activation scales as a plain {param_name: float} dict
-        (only meaningful after calibrate_int8/load_calibration)."""
+        (only meaningful after calibrate_int8/load_calibration). Emits only
+        the scales belonging to the TPU.INT8_* groups this config enables —
+        stray scales (e.g. from a stale sidecar that auto-loaded before
+        recalibration) must not propagate into fresh sidecars."""
         assert self._int8_ready, "calibrate_int8 was never run"
+        allowed = set(self._required_scale_keys(self.params))
         return {k: float(np.asarray(v)) for k, v in self.params.items()
-                if k.endswith(".in_scale")}
+                if (k.endswith(".in_scale") or ".in_scale_" in k)
+                and k in allowed}
 
     def save_calibration(self, path: str) -> None:
         """Persist the int8 activation scales as JSON. Calibrate once
@@ -286,15 +357,38 @@ class DensePosePredictor:
         assert self._int8_needed, "no TPU.INT8_* mode is enabled"
         if isinstance(source, str):
             with open(source) as f:
-                data = json.load(f)
-            scales = data.get("scales", data) if isinstance(data, dict) else data
+                try:
+                    data = json.load(f)
+                except json.JSONDecodeError as e:
+                    raise ValueError(f"corrupt calibration file {source}: {e}")
+            if not isinstance(data, dict):
+                raise ValueError(
+                    f"calibration file {source} is not a JSON object")
+            fmt = data.get("format")
+            if fmt is not None and fmt != "densepose-tpu-int8-calib":
+                raise ValueError(f"unrecognized calibration format: {fmt!r}")
+            scales = data.get("scales", data)
+            if not isinstance(scales, dict):
+                raise ValueError(
+                    f"calibration file {source}: 'scales' is not a dict")
         else:
             scales = dict(source)
         params = dict(self.params)
+        # install only the scales belonging to groups this config enables —
+        # a sidecar from a differently-configured export must not leave dead
+        # in_scale/qweight params around (nor re-export them later)
+        enabled = set(self._required_scale_keys(params))
+        ignored = 0
         for k, v in scales.items():
-            if not k.endswith(".in_scale"):
+            if not (k.endswith(".in_scale") or ".in_scale_" in k):
                 raise ValueError(f"not an activation-scale key: {k}")
+            if k not in enabled:
+                ignored += 1
+                continue
             params[k] = np.float32(max(float(v), 1e-8))
+        if ignored:
+            logger.info("load_calibration: ignored %d scales for TPU.INT8_* "
+                        "modes this config does not enable", ignored)
         self._check_calibration_complete(params)
         bases = self._int8_quant_bases(params)
         if not bases:
@@ -305,12 +399,14 @@ class DensePosePredictor:
             raise ValueError(
                 f"calibration does not match this model: {missing[:3]}")
         self._quantize_install(params, bases)
+        self.calibration_source = "explicit"
 
-    def _check_calibration_complete(self, params: Dict) -> None:
-        """Every int8 mode the config enables must be fully covered by the
-        loaded scales — a partial group would silently leave some layers
-        on the fp path (mirrors the per-section asserts in
-        calibrate_int8)."""
+    def _required_scale_keys(self, params: Dict):
+        """Activation-scale param names the enabled TPU.INT8_* modes consume
+        — exactly the set calibrate_int8 installs for this config. Used both
+        to validate completeness and to filter what load_calibration installs
+        / export_calibration emits (scales from other modes or checkpoints
+        must never leak through the sidecar)."""
         required = []
         cfg = self.cfg
         if getattr(cfg.TPU, "INT8_HEAD", False) and cfg.MODEL.DENSEPOSE_ON:
@@ -328,18 +424,45 @@ class DensePosePredictor:
                 and cfg.MODEL.RESNETS.DEPTH >= 50):
             from .models.resnet import resnet_int8_scale_sites
             required += resnet_int8_scale_sites(cfg, prefix)
-            if cfg.MODEL.BACKBONE.NAME == "build_resnet_fpn_backbone":
-                from .models.fpn import fpn_int8_scale_sites
-                required += fpn_int8_scale_sites(cfg)[0]
+        # FPN output-conv scales are required at ANY depth: fpn_int8_active
+        # (fpn.py) and forward_int8_calibration (rcnn.py) gate FPN int8 only
+        # on INT8_BACKBONE + FPN backbone, with no depth gate
+        if (getattr(cfg.TPU, "INT8_BACKBONE", False)
+                and cfg.MODEL.BACKBONE.NAME == "build_resnet_fpn_backbone"):
+            from .models.fpn import fpn_int8_scale_sites
+            required += fpn_int8_scale_sites(cfg)[0]
         if (getattr(cfg.TPU, "INT8_RPN", False)
                 and cfg.MODEL.BACKBONE.NAME == "build_resnet_fpn_backbone"):
             from .models.fpn import fpn_int8_scale_sites
             required += fpn_int8_scale_sites(cfg)[1]
-        missing = [k for k in required if k not in params]
+        return required
+
+    def _check_calibration_complete(self, params: Dict) -> None:
+        """Every int8 mode the config enables must be fully covered by the
+        loaded scales — a partial group would silently leave some layers
+        on the fp path (mirrors the per-section asserts in
+        calibrate_int8)."""
+        missing = [k for k in self._required_scale_keys(params)
+                   if k not in params]
         if missing:
             raise ValueError(
                 f"calibration is missing {len(missing)} scales required by "
                 f"the enabled TPU.INT8_* modes, e.g. {missing[:3]}")
+
+    def _auto_calibrate(self, frame) -> None:
+        """Last-resort single-frame calibration when inference starts with
+        TPU.INT8_* enabled but no scales installed. Loud by design: a later
+        frame whose activations exceed this frame's maxima saturates at the
+        clip boundary; use export.py --calib / calibrate_int8(frames) with a
+        representative set, and saturation_report() to check coverage."""
+        logger.warning(
+            "int8 auto-calibration is running on the FIRST FRAME ONLY; "
+            "frames with hotter activations will saturate at the clip "
+            "boundary. Calibrate offline on a representative set "
+            "(export.py --calib, or predictor.calibrate_int8(frames)) and "
+            "verify with predictor.saturation_report(frames).")
+        self.calibrate_int8([frame])
+        self.calibration_source = "auto-single-frame"
 
     def __call__(self, image_bgr_u8: np.ndarray) -> Dict[str, jnp.ndarray]:
         """image: (H, W, 3) uint8 BGR (the run.py contract). Returns device
@@ -351,7 +474,7 @@ class DensePosePredictor:
         DensePose FLOPs at the cost of one sync."""
         assert image_bgr_u8.ndim == 3 and image_bgr_u8.shape[2] == 3, image_bgr_u8.shape
         if self._int8_needed and not self._int8_ready:
-            self.calibrate_int8([image_bgr_u8])
+            self._auto_calibrate(image_bgr_u8)
         h, w = image_bgr_u8.shape[:2]
         if not self.bucketed:
             fn = self._get_fn((h, w))
@@ -390,7 +513,7 @@ class DensePosePredictor:
         image (rcnn.py:161) — this is a new capability."""
         assert images_bgr_u8.ndim == 4 and images_bgr_u8.shape[-1] == 3
         if self._int8_needed and not self._int8_ready:
-            self.calibrate_int8([images_bgr_u8[0]])
+            self._auto_calibrate(images_bgr_u8[0])
         b, h, w = images_bgr_u8.shape[:3]
         key = ("batch", b, h, w)
         fn = self._jit_cache.get(key)

@@ -108,6 +108,12 @@ def main():
             if im is None:
                 raise SystemExit(f"--calib: cannot read image {p}")
             frames.append(im)
+        # a sidecar left over from a previous export (old checkpoint or
+        # different INT8 modes) would auto-load into the calibration
+        # predictor and its stale scales could leak into the fresh sidecar —
+        # always start clean
+        if os.path.exists(out_path + ".calib.json"):
+            os.remove(out_path + ".calib.json")
         pred = DensePosePredictor(ccfg, weights_path=out_path)
         pred.calibrate_int8(frames)
         pred.save_calibration(out_path + ".calib.json")

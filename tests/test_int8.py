@@ -531,3 +531,144 @@ def test_load_calibration_validation(tmp_path):
         pred.load_calibration(
             {"roi_heads.densepose_head.body_conv_fcn1.in_scale": 0.01})
     assert not pred._int8_ready
+
+
+def test_load_calibration_filters_disabled_groups(tmp_path):
+    """Scales for TPU.INT8_* groups the config does NOT enable are ignored
+    on load (no dead in_scale/qweight params installed) and never re-emitted
+    by export_calibration — the sidecar-contamination fix (advisor r2)."""
+    from densepose_tpu.predictor import DensePosePredictor
+
+    img = (np.random.RandomState(3).rand(48, 64, 3) * 255).astype(np.uint8)
+    cfg = _tiny_zoo_cfg(["TPU.INT8_HEAD", "True"])
+    pred = DensePosePredictor(cfg, seed=0)
+    pred.calibrate_int8([img])
+    scales = pred.export_calibration()
+    # contaminate with scales from modes this config does not enable
+    dirty = dict(scales)
+    dirty["backbone.fpn_output2.in_scale"] = 0.5
+    dirty["proposal_generator.rpn_head.conv.in_scale_p2"] = 0.5
+
+    fresh = DensePosePredictor(cfg, seed=0)
+    fresh.load_calibration(dirty)
+    assert fresh._int8_ready
+    assert "backbone.fpn_output2.in_scale" not in fresh.params
+    assert "backbone.fpn_output2.qweight" not in fresh.params
+    assert "proposal_generator.rpn_head.conv.in_scale_p2" not in fresh.params
+    # the re-exported sidecar is clean
+    assert set(fresh.export_calibration()) == set(scales)
+
+
+def test_load_calibration_rejects_corrupt_files(tmp_path):
+    """Corrupt JSON / non-dict JSON / unknown format raise ValueError with a
+    clear message (not AttributeError), and a bad sidecar does not make the
+    predictor unconstructible — __init__ falls back to runtime calibration."""
+    from densepose_tpu.checkpoint.transform import random_torch_state
+    from densepose_tpu.models.rcnn import build_model
+    from densepose_tpu.predictor import DensePosePredictor
+
+    cfg = _tiny_zoo_cfg(["TPU.INT8_HEAD", "True"])
+    pred = DensePosePredictor(cfg, seed=0)
+    bad_json = tmp_path / "bad.json"
+    bad_json.write_text("{not json")
+    with pytest.raises(ValueError, match="corrupt"):
+        pred.load_calibration(str(bad_json))
+    arr_json = tmp_path / "arr.json"
+    arr_json.write_text("[1, 2, 3]")
+    with pytest.raises(ValueError, match="not a JSON object"):
+        pred.load_calibration(str(arr_json))
+    fmt_json = tmp_path / "fmt.json"
+    fmt_json.write_text('{"format": "something-else", "scales": {}}')
+    with pytest.raises(ValueError, match="unrecognized"):
+        pred.load_calibration(str(fmt_json))
+    assert not pred._int8_ready
+
+    # constructor auto-load survives a stale/partial sidecar
+    bundle = str(tmp_path / "m.npz")
+    np.savez(bundle, **random_torch_state(build_model(cfg).spec(), seed=0))
+    with open(bundle + ".calib.json", "w") as f:
+        f.write('{"format": "densepose-tpu-int8-calib", "scales": '
+                '{"roi_heads.densepose_head.body_conv_fcn1.in_scale": 0.01}}')
+    p2 = DensePosePredictor(cfg, weights_path=bundle)  # must not raise
+    assert not p2._int8_ready  # fell back to runtime calibration
+
+
+def test_check_calibration_requires_fpn_scales_at_any_depth():
+    """INT8_BACKBONE on a depth-18 FPN config still requires the FPN
+    output-conv scales — fpn_int8_active has no depth gate (advisor r2)."""
+    from densepose_tpu.predictor import DensePosePredictor
+
+    cfg = _tiny_zoo_cfg(["TPU.INT8_BACKBONE", "True",
+                         "MODEL.RESNETS.DEPTH", "18",
+                         "MODEL.RESNETS.RES2_OUT_CHANNELS", "64"])
+    pred = DensePosePredictor(cfg, seed=0)
+    assert pred._int8_needed  # FPN output convs quantize at any depth
+    req = pred._required_scale_keys(pred.params)
+    assert "backbone.fpn_output2.in_scale" in req
+    # no bottleneck sites at depth 18
+    assert not any(".res2." in k for k in req)
+
+
+def test_saturation_report_detects_hot_frames(caplog):
+    """VERDICT r2 #4: single-frame auto-calibration must be loud and
+    diagnosable. Calibrate on one frame, feed another whose activations
+    exceed the calibration maxima: the saturation counters (fraction of
+    |x| > 127*scale per site) detect it site-for-site, outputs stay finite
+    (clip-bounded degradation, not garbage), and the auto-calibration path
+    warns + records its provenance.
+
+    Note: image brightness does NOT monotonically drive head activations
+    (the head input is pooled over RPN-predicted boxes, which differ per
+    frame under random weights) — so the out-of-range frame is identified
+    analytically from the max-walk on both frames, not assumed."""
+    import logging
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from densepose_tpu.predictor import DensePosePredictor
+
+    cfg = _tiny_zoo_cfg(["TPU.INT8_HEAD", "True"])
+    frame_a = (np.random.RandomState(3).rand(48, 64, 3) * 255).astype(np.uint8)
+    frame_b = (frame_a // 10).astype(np.uint8)
+
+    pred = DensePosePredictor(cfg, seed=0)
+    walk = jax.jit(partial(pred.model.forward_int8_calibration,
+                           compute_dtype=pred.compute_dtype, stat="max"))
+    max_a = np.asarray(walk(pred.params, jnp.asarray(frame_a))["head"])
+    max_b = np.asarray(walk(pred.params, jnp.asarray(frame_b))["head"])
+    # calibrate on whichever frame has the smaller peak activations, so the
+    # other is guaranteed out-of-calibration-range at >= 1 site
+    calib, probe = ((frame_a, frame_b) if max_a.max() < max_b.max()
+                    else (frame_b, frame_a))
+    max_c, max_p = ((max_a, max_b) if calib is frame_a else (max_b, max_a))
+    assert (max_p > max_c).any(), "fixture frames must differ in range"
+
+    pred.calibrate_int8([calib])
+    assert pred.calibration_source == "explicit"
+    rep_calib = pred.saturation_report([calib])
+    assert rep_calib, "report must cover the quantized head sites"
+    assert all(v == 0.0 for v in rep_calib.values()), rep_calib
+    rep_probe = pred.saturation_report([probe])
+    assert set(rep_probe) == set(rep_calib)
+    # every site whose probe max exceeds the installed clip must fire, and
+    # only those sites may fire
+    sites = sorted(rep_probe)  # body_conv_fcn1..n order == walk order
+    for site, mc, mp in zip(sites, max_c, max_p):
+        if mp > mc:
+            assert rep_probe[site] > 0.0, (site, mc, mp, rep_probe)
+        else:
+            assert rep_probe[site] == 0.0, (site, mc, mp, rep_probe)
+    # degradation is clip-bounded: the hot frame still yields finite outputs
+    out = pred.predict_numpy(probe)
+    assert np.isfinite(np.asarray(out["pred_boxes"], np.float32)).all()
+    assert np.isfinite(
+        np.asarray(out["pred_densepose_u"], np.float32)).all()
+
+    # the silent-default footgun now warns and records its provenance
+    fresh = DensePosePredictor(cfg, seed=0)
+    with caplog.at_level(logging.WARNING, logger="densepose_tpu.predictor"):
+        fresh.predict_numpy(frame_b)
+    assert fresh.calibration_source == "auto-single-frame"
+    assert any("FIRST FRAME ONLY" in r.message for r in caplog.records)
