@@ -413,7 +413,19 @@ def _v1convx_forward(p: Dict, x: jnp.ndarray, cfg, prefix: str) -> jnp.ndarray:
 
 def _aspp_branch(p: Dict, x, prefix: str, conv_idx: int, gn_idx: int,
                  padding: int = 0, dilation: int = 1):
-    y = conv2d(x, p[f"{prefix}.{conv_idx}.weight"], padding=padding, dilation=dilation)
+    w = p[f"{prefix}.{conv_idx}.weight"]
+    if (dilation > 1 and padding == dilation and w.shape[0] == 3
+            and w.shape[1] == 3
+            and dilation >= x.shape[-3] and dilation >= x.shape[-2]):
+        # A 3x3 conv whose dilation >= both ROI dims only ever samples its
+        # CENTER tap in-bounds (the rate-56 ASPP branch, reference
+        # deeplab.py:34, on 28x28 pooled ROIs: the +-56 taps always land in
+        # zero padding). The center-tap 1x1 conv computes the same result
+        # (off-center taps contribute exact zeros) at 1/9 the FLOPs and
+        # without the 140x140 padded domain. Shape-static decision.
+        y = conv2d(x, w[1:2, 1:2])
+    else:
+        y = conv2d(x, w, padding=padding, dilation=dilation)
     y = group_norm(y, p[f"{prefix}.{gn_idx}.weight"], p[f"{prefix}.{gn_idx}.bias"], 32)
     return jax.nn.relu(y)
 

@@ -461,3 +461,40 @@ def test_deeplab_head_parity():
         want = y.numpy().transpose(0, 2, 3, 1)
 
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_aspp_center_tap_reduction():
+    """_aspp_branch reduces a 3x3 conv whose dilation >= both ROI dims to
+    the exact center-tap 1x1 (the rate-56 ASPP branch on 28x28 pooled ROIs,
+    reference deeplab.py:34: the +-dilation taps always land in zero
+    padding) and must NOT reduce when any tap can land in-bounds."""
+    from densepose_tpu.models.roi_heads import _aspp_branch
+    from densepose_tpu.ops import conv2d, group_norm
+
+    C = 32
+    x = jnp.asarray(RNG.randn(2, 14, 14, C).astype(np.float32))
+    p = {"a.0.weight": jnp.asarray(RNG.randn(3, 3, C, C).astype(np.float32) * 0.1),
+         "a.1.weight": jnp.asarray(RNG.rand(C).astype(np.float32) + 0.5),
+         "a.1.bias": jnp.asarray(RNG.randn(C).astype(np.float32) * 0.1)}
+
+    def full(dil):
+        y = conv2d(x, p["a.0.weight"], padding=dil, dilation=dil)
+        y = group_norm(y, p["a.1.weight"], p["a.1.bias"], 32)
+        return jax.nn.relu(y)
+
+    # dilation 14 == ROI size -> center-tap path; equal to the full conv
+    got = _aspp_branch(p, x, "a", 0, 1, padding=14, dilation=14)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full(14)),
+                               atol=1e-5, rtol=1e-5)
+    # and it really is the center tap: zeroing off-center taps changes nothing
+    w_center_only = p["a.0.weight"] * jnp.zeros((3, 3, 1, 1)).at[1, 1].set(1.0)
+    got_center = _aspp_branch({**p, "a.0.weight": w_center_only},
+                              x, "a", 0, 1, padding=14, dilation=14)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(got_center),
+                               atol=1e-6, rtol=1e-6)
+
+    # dilation 6 < ROI size -> full dilated conv (in-bounds taps matter)
+    got6 = _aspp_branch(p, x, "a", 0, 1, padding=6, dilation=6)
+    np.testing.assert_allclose(np.asarray(got6), np.asarray(full(6)),
+                               atol=1e-6, rtol=1e-6)
+    assert float(np.max(np.abs(np.asarray(got6) - np.asarray(got)))) > 1e-3
