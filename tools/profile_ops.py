@@ -24,7 +24,8 @@ sys.path.insert(0, REPO)
 CFG = "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml"
 
 
-def run_trace(logdir: str, steps: int, int8: bool) -> None:
+def run_trace(logdir: str, steps: int, int8: bool,
+              cfg_spec: str = None) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,7 +39,14 @@ def run_trace(logdir: str, steps: int, int8: bool) -> None:
     ]
     if int8:
         overrides += ["TPU.INT8_HEAD", "True"]
-    cfg = load_config(CFG, overrides)
+    if cfg_spec and not os.path.exists(cfg_spec):  # bare zoo name
+        from densepose_tpu import model_zoo
+        cfg = model_zoo.get_config(cfg_spec).clone()
+        cfg.defrost()
+        cfg.merge_from_list(overrides)
+        cfg.freeze()
+    else:
+        cfg = load_config(cfg_spec or CFG, overrides)
     pred = DensePosePredictor(cfg, seed=0)
     fn = pred._get_fn((720, 1280))
 
@@ -124,15 +132,18 @@ def main():
     args = [a for a in sys.argv[1:]]
     int8 = "--int8" in args
     top = 40
+    cfg_spec = None
     if "--top" in args:
         top = int(args[args.index("--top") + 1])
+    if "--cfg" in args:  # yaml path or bare zoo name
+        cfg_spec = args[args.index("--cfg") + 1]
     nums = [a for a in args if a.isdigit() and
             (("--top" not in args) or args[args.index("--top") + 1] is not a)]
     steps = int(nums[0]) if nums else 8
 
     logdir = tempfile.mkdtemp(prefix="dp_profile_")
     t0 = time.time()
-    run_trace(logdir, steps, int8)
+    run_trace(logdir, steps, int8, cfg_spec)
     print(f"# traced {steps} steps in {time.time() - t0:.1f}s -> {logdir}",
           file=sys.stderr)
     aggregate(logdir, steps, top)
