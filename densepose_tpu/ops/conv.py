@@ -231,6 +231,7 @@ def conv2d_int8_chain(
     dilation: Union[int, Tuple[int, int]] = 1,
     out_scale: Optional[float] = None,
     relu: bool = True,
+    out_dtype=None,
 ):
     """One link of a statically-calibrated int8 conv+ReLU chain.
 
@@ -276,6 +277,12 @@ def conv2d_int8_chain(
         y = jnp.maximum(y, 0)  # s32-domain ReLU
     if out_scale is None:
         out = y.astype(jnp.float32) * scale
+        if out_dtype is not None:
+            # bf16 materialization for GN links: the dequantized tensor is
+            # re-read by the normalize pass, so halving it halves that
+            # link's HBM traffic; 0.4% bf16 rounding sits well inside the
+            # ~0.8% int8 step the serving chain already carries
+            out = out.astype(out_dtype)
     else:
         m = scale / out_scale  # per-channel requant multiplier, constant
         out = jnp.clip(jnp.round(y.astype(jnp.float32) * m), -127, 127

@@ -67,6 +67,39 @@ def layer_norm_cf(
     return y.astype(x.dtype)
 
 
+def group_norm_onepass(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """GroupNorm with ONE-PASS statistics (var = E[x^2] - mean^2) for the
+    int8 DeepLab serving chain only.
+
+    The exact two-pass form (group_norm below) computes var = E[(x-mean)^2],
+    whose reduction data-depends on mean — XLA cannot fuse it into the
+    producing conv's epilogue, costing a separate full pass over the
+    dequantized tensor per stacked layer (~0.22 ms/layer at 100 slots,
+    measured). Both one-pass sums depend only on x, so they fuse into the
+    conv fusion. E[x^2] - mean^2 loses accuracy when |mean| >> std; the
+    pre-ReLU conv outputs this normalizes are near zero-mean, and the chain
+    is already inside the int8 serving envelope (~0.8%/step), so the wobble
+    is absorbed — exact mode keeps the two-pass form.
+    """
+    *lead, h, w, c = x.shape
+    g = num_groups
+    xf = x.astype(jnp.float32).reshape(*lead, h, w, g, c // g)
+    axes = tuple(range(len(lead), len(lead) + 2)) + (len(lead) + 3,)
+    mean = xf.mean(axis=axes, keepdims=True)
+    mean_sq = (xf * xf).mean(axis=axes, keepdims=True)
+    var = jnp.maximum(mean_sq - mean * mean, 0.0)
+    xf = (xf - mean) / jnp.sqrt(var + eps)
+    xf = xf.reshape(*lead, h, w, c)
+    y = xf * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def group_norm(
     x: jnp.ndarray,
     weight: jnp.ndarray,
