@@ -129,7 +129,9 @@ def _our_cfg():
     return cfg
 
 
-def _reference_run(image, state):
+def _reference_run(image, state,
+                   yaml_path="/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml",
+                   tap=True):
     """Build the reference's own model, install the shared weights, run
     DefaultPredictor.forward with per-stage hooks. Returns taps + output."""
     from refshim import import_reference
@@ -138,8 +140,7 @@ def _reference_run(image, state):
 
     cfg = get_cfg()
     add_densepose_config(cfg)
-    cfg.merge_from_file(
-        "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml")
+    cfg.merge_from_file(yaml_path)
     cfg.MODEL.DEVICE = "cpu"
     cfg.MODEL.WEIGHTS = ""
     cfg.INPUT.MIN_SIZE_TEST = _OVERRIDES["MIN_SIZE"]
@@ -179,7 +180,7 @@ def _reference_run(image, state):
     def _tap_rpn(m, i, o):
         taps["proposals"] = {k: v.detach() for k, v in o[0][0].items()}
 
-    hooks = [
+    hooks = [] if not tap else [
         model.backbone.bottom_up.stem.register_forward_hook(_tap_stem),
         model.backbone.bottom_up.register_forward_hook(_tap_bottom_up),
         model.backbone.register_forward_hook(_tap_backbone),
@@ -362,3 +363,80 @@ def test_full_pipeline_output_vs_reference():
         scale = max(float(np.std(want)), 1e-6)
         err = float(np.max(np.abs(got - want))) / scale
         assert err < 1e-2, f"{key}: normalized max err {err:.2e}"
+
+
+# ---------------------------------------------------------------------------
+# second/third families end-to-end vs the reference's own forward: legacy
+# (multi-level densepose pooler, 15-ch coarse segm, 56px maps, no decoder)
+# and DeepLab (ASPP — the reference computes the FULL rate-56 dilated conv,
+# so this pins our center-tap reduction to the reference's own numbers)
+# ---------------------------------------------------------------------------
+
+def _variant_full_pipeline_vs_reference(zoo_name, yaml_path):
+    from densepose_tpu.predictor import DensePosePredictor
+
+    cfg = model_zoo.get_config(zoo_name).clone()
+    cfg.defrost()
+    cfg.INPUT.MIN_SIZE_TEST = _OVERRIDES["MIN_SIZE"]
+    cfg.INPUT.MAX_SIZE_TEST = _OVERRIDES["MAX_SIZE"]
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = _OVERRIDES["SCORE_THRESH"]
+    cfg.TEST.DETECTIONS_PER_IMAGE = _OVERRIDES["DETECTIONS"]
+    cfg.freeze()
+    model = build_model(cfg)
+    spec = model.spec()
+    rng = np.random.RandomState(abs(hash(zoo_name)) % (2 ** 31))
+    state = {}
+    for name, ps in spec.items():
+        if name.endswith("running_var"):
+            state[name] = (rng.rand(*ps.shape) * 0.5 + 0.75).astype(np.float32)
+        elif name.endswith("running_mean"):
+            state[name] = (rng.randn(*ps.shape) * 0.05).astype(np.float32)
+        elif name.endswith(".norm.weight"):
+            state[name] = (rng.rand(*ps.shape) * 0.5 + 0.75).astype(np.float32)
+        elif name.endswith(".norm.bias"):
+            state[name] = (rng.randn(*ps.shape) * 0.05).astype(np.float32)
+        else:
+            state[name] = (rng.randn(*ps.shape) * 0.04).astype(np.float32)
+    image = (rng.rand(H0, W0, 3) * 255).astype(np.uint8)
+
+    _, ref = _reference_run(image, state, yaml_path, tap=False)
+    full = DensePosePredictor(
+        cfg, params=torch_state_to_jax(state, spec,
+                                       fold_bn=cfg.TPU.FOLD_FROZEN_BN)
+    ).predict_numpy(image)
+
+    assert full["num_instances"] == len(ref["scores"]), (
+        full["num_instances"], len(ref["scores"]))
+    np.testing.assert_allclose(full["scores"], ref["scores"].numpy(),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(full["pred_boxes"], ref["pred_boxes"].numpy(),
+                               atol=0.15, rtol=1e-3)
+    for key in ("pred_densepose_coarse_segm", "pred_densepose_fine_segm",
+                "pred_densepose_u", "pred_densepose_v"):
+        want = ref[key].numpy()
+        got = np.asarray(full[key])
+        assert got.shape == want.shape, (key, got.shape, want.shape)
+        scale = max(float(np.std(want)), 1e-6)
+        err = float(np.max(np.abs(got - want))) / scale
+        assert err < 1e-2, f"{zoo_name} {key}: normalized max err {err:.2e}"
+    return full
+
+
+def test_legacy_full_pipeline_vs_reference():
+    """Legacy family vs the reference's own forward: multi-level densepose
+    ROI pooling (no decoder), 15-channel coarse segm, 56px maps."""
+    full = _variant_full_pipeline_vs_reference(
+        "densepose_rcnn_R_50_FPN_s1x_legacy",
+        "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x_legacy.yaml")
+    assert full["pred_densepose_coarse_segm"].shape[1] == 15
+    assert full["pred_densepose_u"].shape[-1] == 56
+
+
+def test_deeplab_full_pipeline_vs_reference():
+    """DeepLab family vs the reference's own forward: ASPP (incl. our
+    center-tap reduction of the rate-56 branch vs the reference's full
+    dilated conv) + GN stacked convs."""
+    full = _variant_full_pipeline_vs_reference(
+        "densepose_rcnn_R_50_FPN_DL_s1x",
+        "/root/reference/configs/densepose_rcnn_R_50_FPN_DL_s1x.yaml")
+    assert full["pred_densepose_u"].shape[-1] == 112
