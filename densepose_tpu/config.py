@@ -506,6 +506,14 @@ def _detectron2_defaults() -> CfgNode:
     # but it changes the SIUV logits; chart predictors only. Requires
     # INT8_HEAD's calibration pass, so enable both together.
     _C.TPU.INT8_PREDICTOR = False
+    # Path to the external continuous U/V left-right symmetry tables
+    # (densepose_UV_symmetry_transforms.mat of the DensePose tooling, or an
+    # .npz with dense (24, 256, 256) U_transforms/V_transforms). When set,
+    # TTA's flipped views contribute U/V evidence too (tta.py::
+    # unflip_chart_uv); empty (default) = flipped views contribute
+    # segmentation evidence only. Neither this repo nor the reference ships
+    # the data.
+    _C.TPU.UV_SYMMETRY_PATH = ""
     return _C
 
 

@@ -22,9 +22,14 @@ supplies the capability:
   - legacy 15-channel coarse-segm models contribute flipped segm evidence
     too: their coarse channels (bg + 14 body parts) permute by the static
     left/right involution ``COARSE_SEGM_PERM_15``,
-  - U/V stay non-flipped-only: mapping flipped UV values back requires the
-    continuous ``densepose_UV_symmetry_transforms.mat`` tables, external
-    data neither this repo nor the reference ships.
+  - flipped U/V contribution is OPT-IN: mapping flipped UV values back
+    requires the continuous per-part lookup tables of the DensePose
+    annotation tooling (``densepose_UV_symmetry_transforms.mat``) — external
+    data neither this repo nor the reference ships. When the user supplies
+    that file (``TPU.UV_SYMMETRY_PATH`` or ``TTAPredictor(base,
+    uv_symmetry=...)``; .mat and .npz both accepted, see
+    ``load_uv_symmetry``), flipped views contribute U/V evidence through
+    ``unflip_chart_uv``; without it U/V stay non-flipped-only.
 
 Every view is a separate static-shape jit (one compile per (H, W, min_size,
 flip) bucket) — TTA trades compile count for accuracy, exactly like the
@@ -64,6 +69,70 @@ FINE_SEGM_PERM = (0,) + PART_SYMMETRY
 COARSE_SEGM_PERM_15 = (0, 1, 3, 2, 5, 4, 7, 6, 9, 8, 11, 10, 13, 12, 14)
 
 
+def load_uv_symmetry(source) -> Dict[str, np.ndarray]:
+    """Load the continuous U/V left-right symmetry lookup tables.
+
+    The DensePose annotation tooling distributes them as
+    ``densepose_UV_symmetry_transforms.mat``: cell arrays ``U_transforms`` /
+    ``V_transforms`` of 24 per-part (256, 256) tables indexed
+    ``[v_bin, u_bin]`` (the same file upstream detectron2-DensePose's
+    ``DensePoseTransformData.load`` consumes for training-time flips).
+    Neither this repo nor the reference ships the data — the reference's TTA
+    config declares the capability with no implementation at all.
+
+    Accepts: a ``.mat`` path (scipy cell layout, shape (1, 24) object array
+    or a dense (24, 256, 256) array), an ``.npz`` path with dense
+    (24, 256, 256) arrays under the same keys, or an already-loaded mapping.
+    Returns ``{"U_transforms": (24, 256, 256) f32, "V_transforms": ...}``.
+    """
+    if isinstance(source, str):
+        if source.endswith(".mat"):
+            from scipy.io import loadmat
+            source = loadmat(source)
+        else:
+            source = dict(np.load(source, allow_pickle=False))
+    out = {}
+    for key in ("U_transforms", "V_transforms"):
+        if key not in source:
+            raise ValueError(f"UV symmetry data lacks {key!r}")
+        t = source[key]
+        if isinstance(t, np.ndarray) and t.dtype == object:
+            t = np.stack([np.asarray(t.reshape(-1)[i], np.float32)
+                          for i in range(t.size)])
+        t = np.asarray(t, np.float32)
+        if t.shape != (24, 256, 256):
+            raise ValueError(f"{key}: expected (24, 256, 256), got {t.shape}")
+        out[key] = t
+    return out
+
+
+def unflip_chart_uv(u: jnp.ndarray, v: jnp.ndarray,
+                    u_tab: jnp.ndarray, v_tab: jnp.ndarray):
+    """Map chart U/V maps computed on a horizontally-flipped view back to
+    original-image orientation, given the continuous symmetry tables
+    ((24, 256, 256), indexed [part-1, v_bin, u_bin]).
+
+    Semantics are the DensePose ground-truth flip (upstream
+    densepose/structures ``_flip_iuv_semantics``: a point with OLD part
+    label p gets NEW label sym(p) and NEW coordinates
+    ``tab[p-1][int(v*255), int(u*255)]``) lifted from annotated points to
+    dense per-part maps: output channel q takes the table-transformed
+    values of input channel sym(q) (PART_SYMMETRY is an involution).
+    Maps are NHWC with channel 0 = background, which mirrors unchanged.
+    """
+    u = u[:, :, ::-1, :]
+    v = v[:, :, ::-1, :]
+    ub = jnp.floor(jnp.clip(u[..., 1:], 0.0, 1.0) * 255.0).astype(jnp.int32)
+    vb = jnp.floor(jnp.clip(v[..., 1:], 0.0, 1.0) * 255.0).astype(jnp.int32)
+    part = jnp.arange(24)[None, None, None, :]
+    nu = u_tab[part, vb, ub]  # (N, H, W, 24): transformed OLD part c+1
+    nv = v_tab[part, vb, ub]
+    perm = jnp.asarray(PART_SYMMETRY, jnp.int32) - 1  # sym(q)-1 at index q-1
+    out_u = jnp.concatenate([u[..., :1], nu[..., perm]], axis=-1)
+    out_v = jnp.concatenate([v[..., :1], nv[..., perm]], axis=-1)
+    return out_u, out_v
+
+
 def unflip_chart_segm(coarse_segm: jnp.ndarray, fine_segm: jnp.ndarray):
     """Map chart segmentation maps computed on a horizontally-flipped view
     back to original-image orientation: mirror the W axis (maps are NHWC)
@@ -98,7 +167,7 @@ class TTAPredictor:
     the device output dict; ``predict_numpy`` / ``numpy_outputs`` match.
     """
 
-    def __init__(self, base):
+    def __init__(self, base, uv_symmetry=None):
         self.base = base
         cfg = base.cfg
         aug = cfg.TEST.AUG
@@ -117,6 +186,15 @@ class TTAPredictor:
             and cfg.MODEL.ROI_DENSEPOSE_HEAD.PREDICTOR_NAME
             in ("DensePoseChartPredictor", "DensePoseChartWithConfidencePredictor")
             and cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_COARSE_SEGM_CHANNELS in (2, 15))
+        # flipped U/V evidence needs the external continuous symmetry tables
+        # (module docstring): explicit arg wins, else TPU.UV_SYMMETRY_PATH
+        if uv_symmetry is None:
+            uv_symmetry = getattr(cfg.TPU, "UV_SYMMETRY_PATH", "") or None
+        self.uv_tables = None
+        if uv_symmetry is not None and self.flip_segm:
+            t = load_uv_symmetry(uv_symmetry)
+            self.uv_tables = (jnp.asarray(t["U_transforms"]),
+                              jnp.asarray(t["V_transforms"]))
         self._s1_cache: Dict[Tuple, callable] = {}
         self._s2_cache: Dict[Tuple, callable] = {}
         self._merge = jax.jit(partial(
@@ -187,6 +265,7 @@ class TTAPredictor:
         if self.densepose_on:
             acc = None          # all maps, non-flipped views
             segm_acc = None     # (coarse, fine) evidence from flipped views
+            uv_acc = None       # (u, v) evidence from flipped views
             n_plain = n_flip = 0
             for feats, (sy, sx), flipped, ms in view_feats:
                 if flipped:
@@ -203,6 +282,13 @@ class TTAPredictor:
                         dp["pred_densepose_fine_segm"].astype(jnp.float32))
                     segm_acc = ((cs, fs) if segm_acc is None
                                 else (segm_acc[0] + cs, segm_acc[1] + fs))
+                    if self.uv_tables is not None:
+                        fu, fv = unflip_chart_uv(
+                            dp["pred_densepose_u"].astype(jnp.float32),
+                            dp["pred_densepose_v"].astype(jnp.float32),
+                            *self.uv_tables)
+                        uv_acc = ((fu, fv) if uv_acc is None
+                                  else (uv_acc[0] + fu, uv_acc[1] + fv))
                     n_flip += 1
                     continue
                 dp = {k: v.astype(jnp.float32) for k, v in dp.items()}
@@ -215,6 +301,12 @@ class TTAPredictor:
                     acc["pred_densepose_coarse_segm"] + segm_acc[0]) / n_all
                 out["pred_densepose_fine_segm"] = (
                     acc["pred_densepose_fine_segm"] + segm_acc[1]) / n_all
+            if uv_acc is not None:
+                n_all = float(n_plain + n_flip)
+                out["pred_densepose_u"] = (
+                    acc["pred_densepose_u"] + uv_acc[0]) / n_all
+                out["pred_densepose_v"] = (
+                    acc["pred_densepose_v"] + uv_acc[1]) / n_all
             result.update(out)
         return result
 

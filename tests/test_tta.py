@@ -242,6 +242,164 @@ def test_unflip_legacy_15ch_coarse_segm():
         np.asarray(fs), fine[:, :, ::-1, :][..., np.asarray(FINE_SEGM_PERM)])
 
 
+def _synthetic_uv_tables(rng):
+    """(24, 256, 256) per-part lookup tables with distinct per-part content
+    (so a part/channel mix-up cannot pass)."""
+    u_tab = rng.rand(24, 256, 256).astype(np.float32)
+    v_tab = rng.rand(24, 256, 256).astype(np.float32)
+    return u_tab, v_tab
+
+
+def test_load_uv_symmetry_formats(tmp_path):
+    """load_uv_symmetry accepts the tooling's .mat cell layout, .npz dense
+    arrays, and in-memory dicts; rejects malformed data."""
+    from scipy.io import savemat
+
+    from densepose_tpu.tta import load_uv_symmetry
+
+    rng = np.random.RandomState(5)
+    u_tab, v_tab = _synthetic_uv_tables(rng)
+
+    # .mat cell layout: (1, 24) object arrays of (256, 256) tables — the
+    # layout scipy produces for MATLAB cell arrays, which is how
+    # densepose_UV_symmetry_transforms.mat stores them
+    cells_u = np.empty((1, 24), object)
+    cells_v = np.empty((1, 24), object)
+    for i in range(24):
+        cells_u[0, i] = u_tab[i].astype(np.float64)
+        cells_v[0, i] = v_tab[i].astype(np.float64)
+    mat = str(tmp_path / "uv_symmetry.mat")
+    savemat(mat, {"U_transforms": cells_u, "V_transforms": cells_v})
+    got = load_uv_symmetry(mat)
+    np.testing.assert_allclose(got["U_transforms"], u_tab, atol=1e-6)
+    np.testing.assert_allclose(got["V_transforms"], v_tab, atol=1e-6)
+
+    npz = str(tmp_path / "uv_symmetry.npz")
+    np.savez(npz, U_transforms=u_tab, V_transforms=v_tab)
+    got = load_uv_symmetry(npz)
+    np.testing.assert_array_equal(got["U_transforms"], u_tab)
+
+    got = load_uv_symmetry({"U_transforms": u_tab, "V_transforms": v_tab})
+    np.testing.assert_array_equal(got["V_transforms"], v_tab)
+
+    with pytest.raises(ValueError, match="U_transforms"):
+        load_uv_symmetry({"V_transforms": v_tab})
+    with pytest.raises(ValueError, match="expected"):
+        load_uv_symmetry({"U_transforms": u_tab[:23], "V_transforms": v_tab})
+
+
+def test_unflip_chart_uv_fixture():
+    """unflip_chart_uv vs an explicit per-pixel loop implementing the
+    ground-truth flip semantics (upstream densepose data_relative
+    _flip_iuv_semantics, lifted to dense maps): a pixel whose OLD part is p
+    lands in NEW channel sym(p) with value tab[p-1][int(v*255), int(u*255)],
+    after the W mirror; background channel mirrors unchanged."""
+    import jax.numpy as jnp
+
+    from densepose_tpu.tta import PART_SYMMETRY, unflip_chart_uv
+
+    rng = np.random.RandomState(7)
+    u_tab, v_tab = _synthetic_uv_tables(rng)
+    N, H, W = 2, 3, 5
+    u = rng.rand(N, H, W, 25).astype(np.float32)
+    v = rng.rand(N, H, W, 25).astype(np.float32)
+    # include out-of-range values the clamp must handle
+    u[0, 0, 0, 1] = -0.3
+    v[0, 0, 1, 2] = 1.7
+
+    got_u, got_v = unflip_chart_uv(jnp.asarray(u), jnp.asarray(v),
+                                   jnp.asarray(u_tab), jnp.asarray(v_tab))
+    got_u, got_v = np.asarray(got_u), np.asarray(got_v)
+
+    um = u[:, :, ::-1, :]
+    vm = v[:, :, ::-1, :]
+    want_u = np.empty_like(um)
+    want_v = np.empty_like(vm)
+    want_u[..., 0] = um[..., 0]
+    want_v[..., 0] = vm[..., 0]
+    for n in range(N):
+        for i in range(H):
+            for j in range(W):
+                for p in range(1, 25):  # OLD part label p
+                    q = PART_SYMMETRY[p - 1]  # NEW part label
+                    ub = int(min(max(um[n, i, j, p], 0.0), 1.0) * 255)
+                    vb = int(min(max(vm[n, i, j, p], 0.0), 1.0) * 255)
+                    want_u[n, i, j, q] = u_tab[p - 1, vb, ub]
+                    want_v[n, i, j, q] = v_tab[p - 1, vb, ub]
+    np.testing.assert_allclose(got_u, want_u, atol=1e-6)
+    np.testing.assert_allclose(got_v, want_v, atol=1e-6)
+
+
+def test_flip_contributes_uv_evidence_with_tables(tmp_path):
+    """With the symmetry tables supplied (TPU.UV_SYMMETRY_PATH), flipped
+    views contribute U/V evidence: TTA's u equals
+    (plain + unflip_chart_uv(flipped))/2 on the merged boxes, segm merge is
+    unchanged vs the no-tables run, and without tables u stays
+    plain-view-only."""
+    import jax
+    import jax.numpy as jnp
+
+    from densepose_tpu.models.rcnn import compute_resize
+    from densepose_tpu.tta import unflip_chart_uv
+
+    rng = np.random.RandomState(11)
+    u_tab, v_tab = _synthetic_uv_tables(rng)
+    npz = str(tmp_path / "uv.npz")
+    np.savez(npz, U_transforms=u_tab, V_transforms=v_tab)
+
+    cfg = _cfg(["TEST.AUG.ENABLED", "True",
+                "TEST.AUG.MIN_SIZES", "(64,)",
+                "TEST.AUG.MAX_SIZE", "128",
+                "TEST.AUG.FLIP", "True",
+                "TPU.UV_SYMMETRY_PATH", npz])
+    base = DensePosePredictor(cfg, seed=0)
+    tta = TTAPredictor(base)
+    assert tta.uv_tables is not None
+    got = tta(IMG)
+    # contrast run: same weights, no tables
+    cfg0 = _cfg(["TEST.AUG.ENABLED", "True",
+                 "TEST.AUG.MIN_SIZES", "(64,)",
+                 "TEST.AUG.MAX_SIZE", "128",
+                 "TEST.AUG.FLIP", "True"])
+    tta0 = TTAPredictor(DensePosePredictor(cfg0, params=dict(base.params)))
+    got0 = tta0(IMG)
+
+    # detections and segm merge identical with/without uv tables
+    np.testing.assert_array_equal(np.asarray(got["pred_boxes"]),
+                                  np.asarray(got0["pred_boxes"]))
+    np.testing.assert_allclose(
+        np.asarray(got["pred_densepose_fine_segm"]),
+        np.asarray(got0["pred_densepose_fine_segm"]), atol=1e-6)
+
+    # twin computation of the expected uv merge
+    s1 = jax.jit(base.model.forward_stage1)
+    s2 = jax.jit(base.model.forward_densepose)
+    _, feats, _ = s1(base.params, jnp.asarray(IMG))
+    _, feats_f, _ = s1(base.params, jnp.asarray(IMG[:, ::-1, :].copy()))
+    _, h1, w1 = compute_resize(48, 64, 64, 128)
+    scale = jnp.asarray([w1 / 64, h1 / 48, w1 / 64, h1 / 48], jnp.float32)
+    boxes = got["pred_boxes"]
+    dp = s2(base.params, feats, boxes * scale)
+    bf = jnp.stack([64 - boxes[:, 2], boxes[:, 1],
+                    64 - boxes[:, 0], boxes[:, 3]], axis=1)
+    dp_f = s2(base.params, feats_f, bf * scale)
+    fu, fv = unflip_chart_uv(dp_f["pred_densepose_u"].astype(jnp.float32),
+                             dp_f["pred_densepose_v"].astype(jnp.float32),
+                             jnp.asarray(u_tab), jnp.asarray(v_tab))
+    np.testing.assert_allclose(
+        np.asarray(got["pred_densepose_u"]),
+        (np.asarray(dp["pred_densepose_u"], np.float32) + np.asarray(fu)) / 2,
+        atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got["pred_densepose_v"]),
+        (np.asarray(dp["pred_densepose_v"], np.float32) + np.asarray(fv)) / 2,
+        atol=1e-4, rtol=1e-4)
+    # and the no-tables run really is plain-view-only
+    np.testing.assert_allclose(
+        np.asarray(got0["pred_densepose_u"]),
+        np.asarray(dp["pred_densepose_u"], np.float32), atol=1e-4, rtol=1e-4)
+
+
 def test_merge_detections_upstream_fixture():
     """merge_detections pinned to a hand-derived fixture following upstream
     GeneralizedRCNNWithTTA._merge_detections semantics (VERDICT r2 #9):
