@@ -100,22 +100,33 @@ def test_fast_nms_matches_slow_oracle():
 # shared weights + both forwards, cached once per process
 # ---------------------------------------------------------------------------
 
-def _make_state(spec, scale=0.04):
+def _make_state(spec, scale=0.04, rng=None):
     """Random weights at real widths (same recipe as test_realscale_parity:
-    small conv std so activations survive the 50-conv backbone)."""
+    small conv std so activations survive the 50-conv backbone), with the
+    detection stage TAMED (test_realscale_parity.DETECTION_TAME): untamed
+    random weights saturate every softmax score to exactly 1.0 and blow each
+    |dw| past the delta clamp, degenerating all boxes to zero-area border
+    slabs — detection/SIUV comparisons on such a fixture are vacuous."""
+    from tests.test_realscale_parity import detection_tamed_state
+    rng = RNG if rng is None else rng
     state = {}
     for name, ps in spec.items():
         if name.endswith("running_var"):
-            state[name] = (RNG.rand(*ps.shape) * 0.5 + 0.75).astype(np.float32)
+            state[name] = (rng.rand(*ps.shape) * 0.5 + 0.75).astype(np.float32)
         elif name.endswith("running_mean"):
-            state[name] = (RNG.randn(*ps.shape) * 0.05).astype(np.float32)
+            state[name] = (rng.randn(*ps.shape) * 0.05).astype(np.float32)
         elif name.endswith(".norm.weight"):
-            state[name] = (RNG.rand(*ps.shape) * 0.5 + 0.75).astype(np.float32)
+            state[name] = (rng.rand(*ps.shape) * 0.5 + 0.75).astype(np.float32)
         elif name.endswith(".norm.bias"):
-            state[name] = (RNG.randn(*ps.shape) * 0.05).astype(np.float32)
+            state[name] = (rng.randn(*ps.shape) * 0.05).astype(np.float32)
         else:
-            state[name] = (RNG.randn(*ps.shape) * scale).astype(np.float32)
-    return state
+            state[name] = (rng.randn(*ps.shape) * scale).astype(np.float32)
+    return detection_tamed_state(state)
+
+
+def _nondegenerate_count(boxes, n):
+    b = np.asarray(boxes, np.float32)[:n]
+    return int(((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]) > 1.0).sum())
 
 
 def _our_cfg():
@@ -180,7 +191,14 @@ def _reference_run(image, state,
     def _tap_rpn(m, i, o):
         taps["proposals"] = {k: v.detach() for k, v in o[0][0].items()}
 
-    hooks = [] if not tap else [
+    # always capture the boxes the reference feeds its densepose pooler
+    # (network coords) — the same-box SIUV comparisons key off them
+    def _tap_dp_boxes(m, i, o):
+        taps["dp_boxes"] = i[1][0].clone()
+
+    hooks = [model.roi_heads.densepose_pooler.register_forward_hook(
+        _tap_dp_boxes)]
+    hooks += [] if not tap else [
         model.backbone.bottom_up.stem.register_forward_hook(_tap_stem),
         model.backbone.bottom_up.register_forward_hook(_tap_bottom_up),
         model.backbone.register_forward_hook(_tap_backbone),
@@ -228,8 +246,11 @@ def setup():
     boxes_net, scores, classes, dvalid = jax.jit(
         lambda pp, ff, pr, pv: box_stage_forward(pp, ff, pr, pv, cfg))(
         params, feats, proposals, pvalid)
+    # SIUV maps on the REFERENCE'S OWN pooler boxes (same-box comparison —
+    # the unnormalized 512-ch head amplifies sub-0.01px box reassociation
+    # differences ~100x; see _variant_full_pipeline_vs_reference)
     dp = jax.jit(lambda pp, ff, bb: densepose_stage_forward(pp, ff, bb, cfg))(
-        params, feats, boxes_net)
+        params, feats, jnp.asarray(ref_taps["dp_boxes"].numpy()))
 
     # ---- ours, the full user-facing pipeline (jit graph + postprocess) ----
     from densepose_tpu.predictor import DensePosePredictor
@@ -303,9 +324,16 @@ def test_rpn_proposals_vs_reference():
 
     dg, dt = degen(got_boxes), degen(tprops)
     assert dg.sum() == dt.sum(), (int(dg.sum()), int(dt.sum()))
-    keep = ~(dg & dt)
-    np.testing.assert_allclose(got_boxes[keep], tprops[keep],
-                               atol=0.05, rtol=1e-4)
+    # tie-order tolerant multiset comparison: identical zero-padded-region
+    # patches yield exactly-equal objectness logits at different anchors, so
+    # the ORDER within a tie group is backend-dependent (torch sort vs XLA
+    # top_k) — require every non-degenerate proposal to have an exact
+    # counterpart on the other side, both directions
+    g, tt = got_boxes[~dg], tprops[~dt]
+    assert len(g) == len(tt)
+    d = np.abs(g[:, None, :] - tt[None, :, :]).max(-1)
+    assert float(d.min(1).max()) < 0.05, float(d.min(1).max())
+    assert float(d.min(0).max()) < 0.05, float(d.min(0).max())
 
 
 def test_detections_vs_reference():
@@ -318,15 +346,21 @@ def test_detections_vs_reference():
     np.testing.assert_allclose(np.asarray(c["scores"])[:n], rs,
                                atol=1e-4, rtol=1e-3)
     # k=1: detector_postprocess rescale is identity, so network coords ==
-    # final coords up to the (h1,w1) clip both sides apply
-    np.testing.assert_allclose(np.asarray(c["boxes_net"])[:n], rb,
-                               atol=0.1, rtol=1e-3)
+    # final coords after the (h1,w1) clip (boxes_net is tapped BEFORE our
+    # postprocess clip; the reference's ref_out boxes are already clipped)
+    gb = np.asarray(c["boxes_net"])[:n].copy()
+    gb[:, 0::2] = gb[:, 0::2].clip(0, W0)
+    gb[:, 1::2] = gb[:, 1::2].clip(0, H0)
+    np.testing.assert_allclose(gb, rb, atol=0.1, rtol=1e-3)
     np.testing.assert_array_equal(np.asarray(c["classes"])[:n], rc)
 
 
 def test_siuv_maps_vs_reference():
+    """Same-box comparison: c["dp"] is computed on the reference's own
+    pooler boxes (see setup), so this isolates stage semantics from
+    box-reassociation chaos."""
     c = setup()
-    n = int(np.asarray(c["dvalid"]).sum())
+    n = len(c["ref_out"]["scores"])
     keymap = dict(coarse_segm="pred_densepose_coarse_segm",
                   fine_segm="pred_densepose_fine_segm",
                   u="pred_densepose_u", v="pred_densepose_v")
@@ -362,7 +396,10 @@ def test_full_pipeline_output_vs_reference():
         assert got.shape == want.shape, (key, got.shape, want.shape)
         scale = max(float(np.std(want)), 1e-6)
         err = float(np.max(np.abs(got - want))) / scale
-        assert err < 1e-2, f"{key}: normalized max err {err:.2e}"
+        # own-box maps: loose bound only — the unnormalized head amplifies
+        # legitimate sub-0.01px box reassociation differences (tight
+        # same-box parity lives in test_siuv_maps_vs_reference)
+        assert err < 0.5, f"{key}: normalized max err {err:.2e}"
 
 
 # ---------------------------------------------------------------------------
@@ -373,6 +410,21 @@ def test_full_pipeline_output_vs_reference():
 # ---------------------------------------------------------------------------
 
 def _variant_full_pipeline_vs_reference(zoo_name, yaml_path):
+    """Full-pipeline detection parity + same-box SIUV parity vs the
+    reference's own forward for one zoo variant.
+
+    The SIUV maps are compared on the REFERENCE'S OWN pooler boxes (tapped
+    in network coords), not on each side's own detections: the chart head is
+    8 unnormalized 512-ch convs, so with random weights it amplifies a
+    relative input perturbation ~100x — a sub-0.01px box disagreement
+    (legitimate fp32 reassociation between XLA and torch, well inside the
+    detection tolerance) otherwise explodes into ~0.2 normalized map error.
+    Measured same-box agreement is ~1e-5 normalized; the full-pipeline
+    own-box maps are additionally bounded at a loose 0.5 to catch gross
+    errors (channel permutations, wrong part order) without tripping on
+    box-chaos amplification."""
+    from densepose_tpu.models.fpn import fpn_forward
+    from densepose_tpu.models.roi_heads import densepose_stage_forward
     from densepose_tpu.predictor import DensePosePredictor
 
     cfg = model_zoo.get_config(zoo_name).clone()
@@ -385,40 +437,53 @@ def _variant_full_pipeline_vs_reference(zoo_name, yaml_path):
     model = build_model(cfg)
     spec = model.spec()
     rng = np.random.RandomState(abs(hash(zoo_name)) % (2 ** 31))
-    state = {}
-    for name, ps in spec.items():
-        if name.endswith("running_var"):
-            state[name] = (rng.rand(*ps.shape) * 0.5 + 0.75).astype(np.float32)
-        elif name.endswith("running_mean"):
-            state[name] = (rng.randn(*ps.shape) * 0.05).astype(np.float32)
-        elif name.endswith(".norm.weight"):
-            state[name] = (rng.rand(*ps.shape) * 0.5 + 0.75).astype(np.float32)
-        elif name.endswith(".norm.bias"):
-            state[name] = (rng.randn(*ps.shape) * 0.05).astype(np.float32)
-        else:
-            state[name] = (rng.randn(*ps.shape) * 0.04).astype(np.float32)
+    state = _make_state(spec, rng=rng)
     image = (rng.rand(H0, W0, 3) * 255).astype(np.uint8)
 
-    _, ref = _reference_run(image, state, yaml_path, tap=False)
+    taps, ref = _reference_run(image, state, yaml_path, tap=False)
     full = DensePosePredictor(
         cfg, params=torch_state_to_jax(state, spec,
                                        fold_bn=cfg.TPU.FOLD_FROZEN_BN)
     ).predict_numpy(image)
 
-    assert full["num_instances"] == len(ref["scores"]), (
-        full["num_instances"], len(ref["scores"]))
+    n_ref = len(ref["scores"])
+    assert full["num_instances"] == n_ref, (full["num_instances"], n_ref)
+    assert _nondegenerate_count(ref["pred_boxes"].numpy(), n_ref) >= min(
+        n_ref, 5), "fixture degenerated — detection comparison is vacuous"
     np.testing.assert_allclose(full["scores"], ref["scores"].numpy(),
                                atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(full["pred_boxes"], ref["pred_boxes"].numpy(),
                                atol=0.15, rtol=1e-3)
-    for key in ("pred_densepose_coarse_segm", "pred_densepose_fine_segm",
-                "pred_densepose_u", "pred_densepose_v"):
+
+    # same-box SIUV parity: our stage chain (exact-parity unfolded BN) on
+    # the reference's own pooler boxes
+    params = {k: jnp.asarray(v) for k, v in torch_state_to_jax(
+        state, spec, fold_bn=False).items()}
+    x, (h1, w1), _ = model.preprocess(jnp.asarray(image), (H0, W0))
+    assert (h1, w1) == (H0, W0)
+    feats = jax.jit(lambda pp, xx: fpn_forward(pp, xx, cfg))(params, x)
+    dp_boxes = jnp.asarray(taps["dp_boxes"].numpy())
+    dp = jax.jit(lambda pp, ff, bb: densepose_stage_forward(
+        pp, ff, bb, cfg))(params, feats, dp_boxes)
+    keymap = dict(coarse_segm="pred_densepose_coarse_segm",
+                  fine_segm="pred_densepose_fine_segm",
+                  u="pred_densepose_u", v="pred_densepose_v")
+    for key, refkey in keymap.items():
+        got = _nchw(np.asarray(dp[key]))
+        want = ref[refkey].numpy()
+        assert got.shape == want.shape, (key, got.shape, want.shape)
+        scale = max(float(np.std(want)), 1e-6)
+        err = float(np.max(np.abs(got - want))) / scale
+        assert err < 5e-3, f"{zoo_name} {key}: same-box max err {err:.2e}"
+
+    # loose own-box bound on the user-facing output (gross-error catch)
+    for key in keymap.values():
         want = ref[key].numpy()
         got = np.asarray(full[key])
         assert got.shape == want.shape, (key, got.shape, want.shape)
         scale = max(float(np.std(want)), 1e-6)
         err = float(np.max(np.abs(got - want))) / scale
-        assert err < 1e-2, f"{zoo_name} {key}: normalized max err {err:.2e}"
+        assert err < 0.5, f"{zoo_name} {key}: own-box max err {err:.2e}"
     return full
 
 
@@ -440,3 +505,26 @@ def test_deeplab_full_pipeline_vs_reference():
         "densepose_rcnn_R_50_FPN_DL_s1x",
         "/root/reference/configs/densepose_rcnn_R_50_FPN_DL_s1x.yaml")
     assert full["pred_densepose_u"].shape[-1] == 112
+
+
+def test_wc_confidence_full_pipeline_vs_reference():
+    """WC (confidence) family vs the reference's own forward. Pins the
+    loaded-but-dropped quirk to the reference itself: the reference's
+    DensePoseChartWithConfidencePredictor CREATES the sigma_2/kappa/
+    *_confidence deconv layers (so their weights must load — exercised here
+    by the shared random state covering them on both sides) but its
+    forward (chart_with_confidence.py:91-109) emits only SIUV — identical
+    output surface to the base chart predictor. Ours mirrors that by
+    default (TPU.EMIT_CONFIDENCES extends it, no reference counterpart)."""
+    cfg = model_zoo.get_config("densepose_rcnn_R_50_FPN_WC2M_s1x").clone()
+    assert (cfg.MODEL.ROI_DENSEPOSE_HEAD.PREDICTOR_NAME
+            == "DensePoseChartWithConfidencePredictor")
+    # the confidence weights really are part of the shared state
+    spec = build_model(cfg).spec()
+    conf_keys = [k for k in spec if "sigma_2" in k or "_confidence" in k]
+    assert conf_keys, "WC spec lacks confidence layers"
+    full = _variant_full_pipeline_vs_reference(
+        "densepose_rcnn_R_50_FPN_WC2M_s1x",
+        "/root/reference/configs/densepose_rcnn_R_50_FPN_WC2M_s1x.yaml")
+    assert full["pred_densepose_u"].shape[-1] == 112
+    assert not any("sigma" in k for k in full), list(full)
