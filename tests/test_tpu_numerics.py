@@ -46,9 +46,12 @@ def test_fp16_full_forward_envelope_tpu():
     # load_params' random init saturates all 24 slots with NMS near-ties,
     # where fp16's tie-flips churn which boxes survive — fixture chaos, not
     # island placement
-    from tests.test_realscale_parity import make_state
+    from tests.test_realscale_parity import detection_tamed_state, make_state
     spec = model.spec()
-    state = make_state(spec)
+    # detection_tamed_state: make_state alone saturates scores to 1.0 and
+    # degenerates every kept box to a zero-area border slab, making the
+    # matched-box/score drift comparison below vacuous
+    state = detection_tamed_state(make_state(spec))
     # tame the head's multiplicative gain for f16 VALUE range: random
     # weights amplify ~1.6x per stacked conv (8 layers -> activations past
     # f16's 65504 max even though the MXU accumulates f32; real checkpoints
