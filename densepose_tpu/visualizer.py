@@ -10,8 +10,10 @@ Port of /root/reference/visualizer.py semantics to a torch-free host stage:
 * ``MatrixVisualizer`` / fine-segmentation overlay (:59-139): VIRIDIS
   colormap + alpha blend via cv2.
 
-The device produces fixed-size SIUV maps (N_slots, H, W, C NHWC) + a
-validity mask; this module consumes only the valid slots.
+The device produces fixed-size NHWC SIUV maps + a validity mask;
+``predictor.numpy_outputs`` trims to the valid slots and transposes to the
+reference's NCHW — the layout this module's extractors consume (exactly like
+the reference's extractor consumes its (N, C, H, W) tensors).
 """
 
 from __future__ import annotations
@@ -101,7 +103,12 @@ def resample_fine_and_uv(
 
 class DensePoseResultExtractor:
     """Turns a predictor output dict into per-instance (labels, uv) results +
-    XYWH boxes, like visualizer.py:47-56."""
+    XYWH boxes, like visualizer.py:47-56.
+
+    Consumes the reference's NCHW map layout — what ``predict_numpy`` /
+    ``numpy_outputs`` emit and every call site (run.py, evaluate.py,
+    parallel/pipeline.py) feeds — exactly like the reference's extractor
+    consumes its (N, C, H, W) tensors."""
 
     def __call__(self, outputs: Dict[str, np.ndarray]):
         n = int(outputs.get("num_instances", len(outputs["pred_boxes"])))
@@ -109,6 +116,11 @@ class DensePoseResultExtractor:
         boxes_xywh = boxes_xyxy.copy()
         boxes_xywh[:, 2:] -= boxes_xywh[:, :2]
         device_pp = "pred_densepose_labels" in outputs
+
+        def hwc(a):
+            # (C, H, W) map -> the HWC form resample_fine_and_uv wants
+            return np.ascontiguousarray(
+                np.transpose(np.asarray(a), (1, 2, 0)))
 
         def extract(i):
             if device_pp:
@@ -130,10 +142,10 @@ class DensePoseResultExtractor:
                 ])
             else:
                 labels, uv = resample_fine_and_uv(
-                    np.asarray(outputs["pred_densepose_coarse_segm"][i]),
-                    np.asarray(outputs["pred_densepose_fine_segm"][i]),
-                    np.asarray(outputs["pred_densepose_u"][i]),
-                    np.asarray(outputs["pred_densepose_v"][i]),
+                    hwc(outputs["pred_densepose_coarse_segm"][i]),
+                    hwc(outputs["pred_densepose_fine_segm"][i]),
+                    hwc(outputs["pred_densepose_u"][i]),
+                    hwc(outputs["pred_densepose_v"][i]),
                     boxes_xywh[i],
                 )
             return {"labels": labels, "uv": uv}

@@ -440,6 +440,24 @@ def _variant_full_pipeline_vs_reference(zoo_name, yaml_path):
     state = _make_state(spec, rng=rng)
     image = (rng.rand(H0, W0, 3) * 255).astype(np.uint8)
 
+    # feature-normalize the fixture: deeper random-weight backbones blow up
+    # activations (R101's p2 std is ~30x R50's), re-saturating the tamed
+    # detection stage. Measure p2 and rescale the FPN output convs (an
+    # exact linear scaling of every feature level) to the R50 calibration
+    # point DETECTION_TAME was tuned for; R50-family variants fall inside
+    # the no-op gate, keeping their states bitwise-unchanged.
+    probe = {k: jnp.asarray(v) for k, v in torch_state_to_jax(
+        state, spec, fold_bn=False).items()}
+    from densepose_tpu.models.fpn import fpn_forward as _fpn
+    xp, _, _ = model.preprocess(jnp.asarray(image), (H0, W0))
+    p2 = jax.jit(lambda pp, xx: _fpn(pp, xx, cfg))(probe, xp)["p2"]
+    gain = 220.0 / float(np.asarray(p2, np.float32).std())
+    del probe, p2
+    if not 0.5 < gain < 2.0:
+        for k in list(state):
+            if ".fpn_output" in k:
+                state[k] = state[k] * np.float32(gain)
+
     taps, ref = _reference_run(image, state, yaml_path, tap=False)
     full = DensePosePredictor(
         cfg, params=torch_state_to_jax(state, spec,
@@ -497,6 +515,16 @@ def test_legacy_full_pipeline_vs_reference():
     assert full["pred_densepose_u"].shape[-1] == 56
 
 
+def test_r101_full_pipeline_vs_reference():
+    """R101 family vs the reference's own forward: the deeper backbone
+    (23-block res4) end-to-end — closes the depth axis the R50-only twin
+    and oracle setup cannot see."""
+    full = _variant_full_pipeline_vs_reference(
+        "densepose_rcnn_R_101_FPN_s1x",
+        "/root/reference/configs/densepose_rcnn_R_101_FPN_s1x.yaml")
+    assert full["pred_densepose_u"].shape[-1] == 112
+
+
 def test_deeplab_full_pipeline_vs_reference():
     """DeepLab family vs the reference's own forward: ASPP (incl. our
     center-tap reduction of the rate-56 branch vs the reference's full
@@ -528,3 +556,114 @@ def test_wc_confidence_full_pipeline_vs_reference():
         "/root/reference/configs/densepose_rcnn_R_50_FPN_WC2M_s1x.yaml")
     assert full["pred_densepose_u"].shape[-1] == 112
     assert not any("sigma" in k for k in full), list(full)
+
+
+# ---------------------------------------------------------------------------
+# the visualization surface vs the reference's own visualizer.py
+# ---------------------------------------------------------------------------
+
+def _ref_visualizer_module():
+    """Import /root/reference/visualizer.py directly (it depends only on
+    cv2/torch/numpy — no detectron2)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_visualizer", "/root/reference/visualizer.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _vis_outputs(rng, n=3, c_coarse=2, hw=28, img_hw=(120, 160)):
+    """Random NCHW predictor outputs (the predict_numpy layout both
+    extractors consume) + boxes fully inside the image."""
+    H, W = img_hw
+    boxes = []
+    for _ in range(n):
+        x0 = rng.uniform(0, W - 50)
+        y0 = rng.uniform(0, H - 50)
+        boxes.append([x0, y0, x0 + rng.uniform(20, 45),
+                      y0 + rng.uniform(20, 45)])
+    return {
+        "num_instances": n,
+        "pred_boxes": np.asarray(boxes, np.float32),
+        "pred_densepose_coarse_segm":
+            rng.randn(n, c_coarse, hw, hw).astype(np.float32),
+        "pred_densepose_fine_segm":
+            rng.randn(n, 25, hw, hw).astype(np.float32),
+        "pred_densepose_u": rng.rand(n, 25, hw, hw).astype(np.float32),
+        "pred_densepose_v": rng.rand(n, 25, hw, hw).astype(np.float32),
+    }
+
+
+def _ref_render(ref_vis, image, outputs):
+    inst = {"pred_boxes": torch.from_numpy(outputs["pred_boxes"])}
+    for k in ("pred_densepose_coarse_segm", "pred_densepose_fine_segm",
+              "pred_densepose_u", "pred_densepose_v"):
+        inst[k] = torch.from_numpy(outputs[k])
+    viz = ref_vis.End2EndVisualizer(alpha=0.7, keep_bg=False)
+    return viz.visualize(image.copy(), inst)
+
+
+def _our_render(image, outputs):
+    from densepose_tpu.visualizer import End2EndVisualizer
+    viz = End2EndVisualizer(alpha=0.7, keep_bg=False, mode="fine_segm")
+    return viz.visualize(image.copy(), outputs)
+
+
+def test_visualizer_bit_exact_vs_reference_unambiguous():
+    """Overlay rendering vs the reference's own visualizer.py, bit-exact on
+    argmax-unambiguous maps: single dominant part per instance, foreground
+    everywhere — interpolation cannot flip any label, so the colormap +
+    mask + alpha-blend + uint8-truncation chain must agree byte for byte
+    (incl. the keep_bg=False background fill)."""
+    pytest.importorskip("cv2")
+    ref_vis = _ref_visualizer_module()
+    rng = np.random.RandomState(3)
+    out = _vis_outputs(rng)
+    for i in range(out["num_instances"]):
+        out["pred_densepose_coarse_segm"][i, 0] = -5.0
+        out["pred_densepose_coarse_segm"][i, 1] = 5.0
+        out["pred_densepose_fine_segm"][i] = 0.0
+        out["pred_densepose_fine_segm"][i, 7 + i] = 5.0
+    image = (rng.rand(120, 160, 3) * 255).astype(np.uint8)
+    want = _ref_render(ref_vis, image, out)
+    got = _our_render(image, out)
+    assert want.shape == got.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_visualizer_extract_and_render_vs_reference_random():
+    """Random logits: per-instance labels may flip only at part boundaries
+    (torch F.interpolate vs our float32 resize disagree at argmax crossing
+    points) — bound the flip fraction, require UV equality where labels
+    agree, and bound the overlay pixel disagreement."""
+    pytest.importorskip("cv2")
+    ref_vis = _ref_visualizer_module()
+    rng = np.random.RandomState(11)
+    out = _vis_outputs(rng)
+
+    # extractor level
+    from densepose_tpu.visualizer import DensePoseResultExtractor
+    ours, our_boxes = DensePoseResultExtractor()(out)
+    inst = {"pred_boxes": torch.from_numpy(out["pred_boxes"])}
+    for k in ("pred_densepose_coarse_segm", "pred_densepose_fine_segm",
+              "pred_densepose_u", "pred_densepose_v"):
+        inst[k] = torch.from_numpy(out[k])
+    refs, ref_boxes = ref_vis.DensePoseResultExtractor()(inst)
+    np.testing.assert_allclose(our_boxes, ref_boxes.numpy(), atol=1e-5)
+    for mine, theirs in zip(ours, refs):
+        lab_r = theirs["labels"].numpy()
+        uv_r = theirs["uv"].numpy()
+        same = mine["labels"] == lab_r
+        frac = 1.0 - float(same.mean())
+        assert frac < 0.01, f"label flip fraction {frac:.4f}"
+        np.testing.assert_allclose(
+            np.where(same[None], mine["uv"], 0.0),
+            np.where(same[None], uv_r, 0.0), atol=1e-5)
+
+    # overlay level
+    image = (rng.rand(120, 160, 3) * 255).astype(np.uint8)
+    want = _ref_render(ref_vis, image, out)
+    got = _our_render(image, out)
+    diff = (got != want).any(axis=-1)
+    assert float(diff.mean()) < 0.01, float(diff.mean())
