@@ -415,3 +415,53 @@ def test_load_geodesics_example_builder():
     assert ap_planar < 1e-6, ap_planar
     np.testing.assert_allclose(ap_geo, 50.0, atol=1e-6)
     np.testing.assert_allclose(ap_zero, 100.0, atol=1e-6)
+
+
+def test_extractor_to_gps_ap100_from_nchw_outputs():
+    """The evaluate.py wiring end-to-end at the VALUE level: a predictor
+    output dict in the real NCHW layout (predict_numpy's form), whose
+    constant maps encode a known part + UV, must flow through
+    DensePoseResultExtractor into densepose_ap at AP 100. Value-sensitive
+    where test_evaluate_cli_flow is not (random weights give ~0 AP
+    regardless of layout): a scrambled map layout argmaxes over the wrong
+    axis, breaking the uniform labels and sending GPS to zero."""
+    import pytest
+    pytest.importorskip("cv2")
+    from densepose_tpu.evaluation import densepose_ap
+    from densepose_tpu.visualizer import DensePoseResultExtractor
+
+    rng = np.random.RandomState(4)
+    part, u_val, v_val = 3, 0.4, 0.6
+    n_pts = 6
+    ann = {
+        "bbox": [8.0, 8.0, 30.0, 30.0],
+        "dp_x": rng.rand(n_pts) * 255,
+        "dp_y": rng.rand(n_pts) * 255,
+        "dp_I": np.full(n_pts, part, np.int64),
+        "dp_U": np.full(n_pts, u_val),
+        "dp_V": np.full(n_pts, v_val),
+    }
+    hm = 14
+    coarse = np.full((1, 2, hm, hm), -5.0, np.float32)
+    coarse[:, 1] = 5.0                      # foreground everywhere
+    fine = np.zeros((1, 25, hm, hm), np.float32)
+    fine[:, part] = 5.0                     # argmax == part everywhere
+    outputs = {
+        "num_instances": 1,
+        "pred_boxes": np.array([[8.0, 8.0, 38.0, 38.0]], np.float32),
+        "scores": np.array([0.9], np.float32),
+        "pred_densepose_coarse_segm": coarse,
+        "pred_densepose_fine_segm": fine,
+        "pred_densepose_u": np.full((1, 25, hm, hm), u_val, np.float32),
+        "pred_densepose_v": np.full((1, 25, hm, hm), v_val, np.float32),
+    }
+    results, boxes_xywh = DensePoseResultExtractor()(outputs)
+    assert (results[0]["labels"] == part).all()
+    preds = [{
+        "pred_boxes_xywh": boxes_xywh,
+        "scores": outputs["scores"],
+        "labels": [r["labels"] for r in results],
+        "uv": [r["uv"] for r in results],
+    }]
+    res = densepose_ap(preds, [[ann]], mode="gps")
+    assert res["AP"] > 99.0, res
