@@ -148,6 +148,45 @@ def unflip_chart_segm(coarse_segm: jnp.ndarray, fine_segm: jnp.ndarray):
     return cs, fs
 
 
+def reduce_pred_densepose(plain: List[Dict[str, jnp.ndarray]],
+                          flip: List[Dict[str, jnp.ndarray]],
+                          u_tab=None, v_tab=None) -> Dict[str, jnp.ndarray]:
+    """Average per-view DensePose maps (upstream ``_reduce_pred_densepose``
+    semantics) in ONE traced computation: non-flipped views average every
+    map; flipped views contribute mirrored + part-permuted segmentation
+    evidence, and — when the continuous UV symmetry tables are supplied —
+    table-transformed U/V evidence. Jitted by the caller so the whole
+    unflip + accumulate chain costs a single device dispatch per frame
+    instead of several eager ones (ADVICE r3)."""
+    f32 = jnp.float32
+    acc = {k: sum(d[k].astype(f32) for d in plain) for k in plain[0]}
+    n_plain = len(plain)
+    out = {k: v / n_plain for k, v in acc.items()}
+    if flip:
+        n_all = float(n_plain + len(flip))
+        cs_acc = fs_acc = u_acc = v_acc = None
+        for dp in flip:
+            cs, fs = unflip_chart_segm(
+                dp["pred_densepose_coarse_segm"].astype(f32),
+                dp["pred_densepose_fine_segm"].astype(f32))
+            cs_acc = cs if cs_acc is None else cs_acc + cs
+            fs_acc = fs if fs_acc is None else fs_acc + fs
+            if u_tab is not None:
+                fu, fv = unflip_chart_uv(
+                    dp["pred_densepose_u"].astype(f32),
+                    dp["pred_densepose_v"].astype(f32), u_tab, v_tab)
+                u_acc = fu if u_acc is None else u_acc + fu
+                v_acc = fv if v_acc is None else v_acc + fv
+        out["pred_densepose_coarse_segm"] = (
+            acc["pred_densepose_coarse_segm"] + cs_acc) / n_all
+        out["pred_densepose_fine_segm"] = (
+            acc["pred_densepose_fine_segm"] + fs_acc) / n_all
+        if u_tab is not None:
+            out["pred_densepose_u"] = (acc["pred_densepose_u"] + u_acc) / n_all
+            out["pred_densepose_v"] = (acc["pred_densepose_v"] + v_acc) / n_all
+    return out
+
+
 def merge_detections(boxes: jnp.ndarray, scores: jnp.ndarray,
                      classes: jnp.ndarray, valid: jnp.ndarray,
                      nms_thresh: float, topk: int):
@@ -191,7 +230,17 @@ class TTAPredictor:
         if uv_symmetry is None:
             uv_symmetry = getattr(cfg.TPU, "UV_SYMMETRY_PATH", "") or None
         self.uv_tables = None
-        if uv_symmetry is not None and self.flip_segm:
+        if uv_symmetry is not None and not self.flip_segm:
+            # ADVICE r3: don't silently drop user-supplied tables — flipped
+            # views can't contribute here (FLIP off, non-chart predictor, or
+            # unusual coarse-segm width), so the tables would have no effect.
+            import warnings
+            warnings.warn(
+                "uv_symmetry tables supplied but flipped views cannot "
+                "contribute (TEST.AUG.FLIP off, non-chart predictor, or "
+                "unsupported NUM_COARSE_SEGM_CHANNELS) — tables ignored.",
+                stacklevel=2)
+        elif uv_symmetry is not None:
             t = load_uv_symmetry(uv_symmetry)
             self.uv_tables = (jnp.asarray(t["U_transforms"]),
                               jnp.asarray(t["V_transforms"]))
@@ -199,6 +248,9 @@ class TTAPredictor:
         self._s2_cache: Dict[Tuple, callable] = {}
         self._merge = jax.jit(partial(
             merge_detections, nms_thresh=self.nms_thresh, topk=self.topk))
+        # one dispatch for the whole unflip+average chain; jit's own trace
+        # cache keys on the (n_plain, n_flip, shapes) pytree structure
+        self._reduce_dp = jax.jit(reduce_pred_densepose)
 
     # -- per-view pieces ----------------------------------------------------
     def _stage1(self, shape_hw, min_size):
@@ -263,10 +315,7 @@ class TTAPredictor:
         }
 
         if self.densepose_on:
-            acc = None          # all maps, non-flipped views
-            segm_acc = None     # (coarse, fine) evidence from flipped views
-            uv_acc = None       # (u, v) evidence from flipped views
-            n_plain = n_flip = 0
+            plain_dps, flip_dps = [], []
             for feats, (sy, sx), flipped, ms in view_feats:
                 if flipped:
                     # merged boxes mapped into the flipped view's coords
@@ -276,37 +325,12 @@ class TTAPredictor:
                     bx = boxes
                 boxes_net = bx * jnp.asarray([sx, sy, sx, sy], jnp.float32)
                 dp = self._stage2((h0, w0), ms)(self.base.params, feats, boxes_net)
-                if flipped:
-                    cs, fs = unflip_chart_segm(
-                        dp["pred_densepose_coarse_segm"].astype(jnp.float32),
-                        dp["pred_densepose_fine_segm"].astype(jnp.float32))
-                    segm_acc = ((cs, fs) if segm_acc is None
-                                else (segm_acc[0] + cs, segm_acc[1] + fs))
-                    if self.uv_tables is not None:
-                        fu, fv = unflip_chart_uv(
-                            dp["pred_densepose_u"].astype(jnp.float32),
-                            dp["pred_densepose_v"].astype(jnp.float32),
-                            *self.uv_tables)
-                        uv_acc = ((fu, fv) if uv_acc is None
-                                  else (uv_acc[0] + fu, uv_acc[1] + fv))
-                    n_flip += 1
-                    continue
-                dp = {k: v.astype(jnp.float32) for k, v in dp.items()}
-                acc = dp if acc is None else {k: acc[k] + dp[k] for k in acc}
-                n_plain += 1
-            out = {k: v / n_plain for k, v in acc.items()}
-            if segm_acc is not None:
-                n_all = float(n_plain + n_flip)
-                out["pred_densepose_coarse_segm"] = (
-                    acc["pred_densepose_coarse_segm"] + segm_acc[0]) / n_all
-                out["pred_densepose_fine_segm"] = (
-                    acc["pred_densepose_fine_segm"] + segm_acc[1]) / n_all
-            if uv_acc is not None:
-                n_all = float(n_plain + n_flip)
-                out["pred_densepose_u"] = (
-                    acc["pred_densepose_u"] + uv_acc[0]) / n_all
-                out["pred_densepose_v"] = (
-                    acc["pred_densepose_v"] + uv_acc[1]) / n_all
+                (flip_dps if flipped else plain_dps).append(dp)
+            # single dispatch: unflip + accumulate + average in one jit
+            if self.uv_tables is not None:
+                out = self._reduce_dp(plain_dps, flip_dps, *self.uv_tables)
+            else:
+                out = self._reduce_dp(plain_dps, flip_dps)
             result.update(out)
         return result
 

@@ -748,7 +748,7 @@ def test_fp16_fp32_islands_real_width():
     assert exps, "no exp primitive in the traced forward?"
     bad = [e for e in exps
            if any(v.aval.dtype != jnp.float32 for v in e.outvars)]
-    assert not bad, (f"{len(bad)}/{len(exps)} exp sites left fp32: "
+    assert not bad, (f"{len(bad)}/{len(exps)} exp sites not fp32: "
                      f"{[str(e) for e in bad[:3]]}")
     heavy = [e for e in eqns
              if e.primitive.name in ("dot_general", "conv_general_dilated")]
