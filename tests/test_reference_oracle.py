@@ -667,3 +667,408 @@ def test_visualizer_extract_and_render_vs_reference_random():
     got = _our_render(image, out)
     diff = (got != want).any(axis=-1)
     assert float(diff.mean()) < 0.01, float(diff.mean())
+
+
+# ---------------------------------------------------------------------------
+# vestigial heads vs the reference's own modules (VERDICT r3 #7): mask,
+# keypoint, Res5. No shipped DensePose config enables them, but the
+# reference's MaskRCNNConvUpsampleHead / KRCNNConvDeconvUpsampleHead /
+# Res5ROIHeads are runnable under the refshim layer; these tests pin our
+# functional equivalents to them on identical inputs and shared weights.
+# ---------------------------------------------------------------------------
+
+
+class _Inst:
+    """Attribute-style instances shim. The reference's mask/keypoint
+    inference helpers (mask_head.py:29-74: ``i.pred_classes``,
+    ``instances.pred_masks = ...``; keypoint_head.py:37-71:
+    ``b.pred_boxes.tensor``) require attribute access, while the
+    TorchScript-converted repo's own pipeline passes dicts everywhere —
+    no shipped container fits, so the heads are unreachable from the
+    reference's forward (vestigial). This is the minimal object that lets
+    the reference's own code run."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+    def __len__(self):
+        return len(self.pred_classes)
+
+
+def _head_fixture():
+    """Shared inputs for the head oracles: the cached oracle run's own FPN
+    features (real activation statistics) + a level-spanning box set +
+    cycling classes (NUM_CLASSES=3 exercises per-class selection, which the
+    person-only DensePose configs never do)."""
+    c = setup()
+    feats_t = [c["ref_taps"][k] for k in ("p2", "p3", "p4", "p5")]
+    feats_j = {k: jnp.asarray(c["ref_taps"][k].numpy()[0].transpose(1, 2, 0))
+               for k in ("p2", "p3", "p4", "p5")}
+    # box sizes spanning all four pooler levels (canonical 224 @ level 4)
+    sizes = [24, 40, 64, 100, 144, 224, 320, 420]
+    boxes = np.array([[8 + 12 * i, 6 + 2 * i, 8 + 12 * i + s, 6 + 2 * i + s]
+                      for i, s in enumerate(sizes)], np.float32)
+    boxes[:, 2] = np.minimum(boxes[:, 2], W0 - 2.0)
+    boxes[:, 3] = np.minimum(boxes[:, 3], H0 - 2.0)
+    classes = np.arange(len(boxes), dtype=np.int64) % 3
+    strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32}
+    return c, feats_t, feats_j, boxes, classes, strides
+
+
+def _ref_cfg3(**model_overrides):
+    """Reference-side config: s1x base with NUM_CLASSES=3 for the head
+    oracles (+ caller overrides)."""
+    from refshim import import_reference
+    get_cfg, _, add_densepose_config = import_reference()
+    rcfg = get_cfg()
+    add_densepose_config(rcfg)
+    rcfg.merge_from_file(
+        "/root/reference/configs/densepose_rcnn_R_50_FPN_s1x.yaml")
+    rcfg.MODEL.DEVICE = "cpu"
+    rcfg.MODEL.ROI_HEADS.NUM_CLASSES = 3
+    for key, val in model_overrides.items():
+        setattr(rcfg.MODEL, key, val)
+    return rcfg
+
+
+def _share_head_state(spec, module, prefix, rng, gains):
+    """Random weights loaded into BOTH sides: our spec dict (torch layout)
+    and the reference module (strict name match after prefix strip).
+
+    ``gains``: ordered (substring, factor) pairs; the FIRST matching pair
+    scales that ``.weight``. Keeps per-layer gain ~1: the first conv must
+    absorb the O(200) FPN feature std, and deep stacks (keypoint's 8 512-ch
+    convs at raw 0.04-scale gain ~2.7/layer) must not blow logits to
+    O(1000) — saturated sigmoids make the mask comparison vacuous, and
+    exploded keypoint logits underflow the reference's own per-keypoint
+    softmax (heatmaps_to_keypoints' internal argmax assert fires on the
+    resulting inf/NaN scores)."""
+    state = {k: (rng.randn(*ps.shape) * 0.04).astype(np.float32)
+             for k, ps in spec.items()}
+    for k in state:
+        if not k.endswith(".weight"):
+            continue
+        for sub, f in gains:
+            if sub in k:
+                state[k] = state[k] * np.float32(f)
+                break
+    sd = {k[len(prefix) + 1:]: torch.from_numpy(v) for k, v in state.items()}
+    missing, unexpected = module.load_state_dict(sd, strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    return state
+
+
+def test_mask_head_vs_reference():
+    """Our mask head (models/mask_head.py) against the reference's own
+    MaskRCNNConvUpsampleHead + ROIPooler + mask_rcnn_inference
+    (/root/reference/detectron2/modeling/roi_heads/mask_head.py:29-209,
+    poolers.py, build.py:491-521) on identical FPN features, boxes, and
+    shared random weights."""
+    from types import SimpleNamespace
+
+    from densepose_tpu.models.mask_head import (mask_head_forward,
+                                                mask_head_spec)
+    from densepose_tpu.checkpoint.transform import torch_state_to_jax
+
+    c, feats_t, feats_j, boxes, classes, strides = _head_fixture()
+    rcfg = _ref_cfg3(MASK_ON=True)
+    from detectron2.modeling.poolers import ROIPooler
+    from detectron2.modeling.roi_heads.mask_head import build_mask_head
+
+    torch.manual_seed(1)
+    mh = build_mask_head(rcfg, SimpleNamespace(
+        channels=256, height=rcfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
+        width=rcfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION))
+    mh.eval()
+    pooler = ROIPooler(
+        output_size=rcfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
+        scales=(1 / 4, 1 / 8, 1 / 16, 1 / 32),
+        sampling_ratio=rcfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO,
+        pooler_type=rcfg.MODEL.ROI_MASK_HEAD.POOLER_TYPE)
+
+    cfg = c["cfg"].clone()
+    cfg.defrost()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 3
+    cfg.freeze()
+    spec = mask_head_spec(cfg)
+    rng = np.random.RandomState(42)
+    p2_std = float(c["ref_taps"]["p2"].numpy().std())
+    state = _share_head_state(spec, mh, "roi_heads.mask_head", rng,
+                              gains=[(".mask_fcn1.", 1.0 / max(p2_std, 1.0))])
+
+    inst = _Inst(pred_classes=torch.from_numpy(classes))
+    with torch.no_grad():
+        x = pooler(feats_t, [torch.from_numpy(boxes)])
+        mh(x, [inst])
+    want = inst.pred_masks.numpy()[:, 0]  # (N, 28, 28) class-selected probs
+
+    params = {k: jnp.asarray(v)
+              for k, v in torch_state_to_jax(state, spec).items()}
+    got = np.asarray(jax.jit(lambda pp: mask_head_forward(
+        pp, feats_j, jnp.asarray(boxes), jnp.asarray(classes, jnp.int32),
+        cfg, strides))(params))
+
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert want.std() > 0.01, "saturated fixture — comparison vacuous"
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_keypoint_head_vs_reference():
+    """Our keypoint head + from-spec numpy heatmaps_to_keypoints
+    (models/keypoint_head.py) against the reference's own
+    KRCNNConvDeconvUpsampleHead + keypoint_rcnn_inference + torch
+    heatmaps_to_keypoints (/root/reference/detectron2/modeling/roi_heads/
+    keypoint_head.py, structures.py:34-104)."""
+    from types import SimpleNamespace
+
+    from densepose_tpu.models.keypoint_head import (
+        heatmaps_to_keypoints_np, keypoint_head_forward, keypoint_head_spec)
+    from densepose_tpu.checkpoint.transform import torch_state_to_jax
+
+    c, feats_t, feats_j, boxes, classes, strides = _head_fixture()
+    rcfg = _ref_cfg3(KEYPOINT_ON=True)
+    from detectron2.modeling.poolers import ROIPooler
+    from detectron2.modeling.roi_heads.keypoint_head import (
+        build_keypoint_head, keypoint_rcnn_inference)
+
+    torch.manual_seed(2)
+    kh = build_keypoint_head(rcfg, SimpleNamespace(
+        channels=256, height=rcfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION,
+        width=rcfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION))
+    kh.eval()
+    pooler = ROIPooler(
+        output_size=rcfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION,
+        scales=(1 / 4, 1 / 8, 1 / 16, 1 / 32),
+        sampling_ratio=rcfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO,
+        pooler_type=rcfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_TYPE)
+
+    cfg = c["cfg"].clone()
+    cfg.defrost()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 3
+    cfg.freeze()
+    spec = keypoint_head_spec(cfg)
+    rng = np.random.RandomState(43)
+    p2_std = float(c["ref_taps"]["p2"].numpy().std())
+    state = _share_head_state(spec, kh, "roi_heads.keypoint_head", rng,
+                              gains=[(".conv_fcn1.", 1.0 / max(p2_std, 1.0)),
+                                     (".conv_fcn", 0.4)])
+
+    boxes_t = torch.from_numpy(boxes)
+    inst = _Inst(pred_classes=torch.from_numpy(classes),
+                 pred_boxes=SimpleNamespace(tensor=boxes_t))
+    with torch.no_grad():
+        x = pooler(feats_t, [boxes_t])
+        logits = kh.layers(x)
+        keypoint_rcnn_inference(logits, [inst])
+    want_heat = inst.pred_keypoint_heatmaps.numpy()      # (N, K, 56, 56)
+    want_kps = inst.pred_keypoints.numpy()               # (N, K, 3) x,y,score
+
+    params = {k: jnp.asarray(v)
+              for k, v in torch_state_to_jax(state, spec).items()}
+    got_heat = np.asarray(jax.jit(lambda pp: keypoint_head_forward(
+        pp, feats_j, jnp.asarray(boxes), cfg, strides))(params))
+    got_heat = got_heat.transpose(0, 3, 1, 2)            # NHWC -> NCHW
+
+    assert got_heat.shape == want_heat.shape, (got_heat.shape,
+                                               want_heat.shape)
+    scale = max(float(np.std(want_heat)), 1e-6)
+    err = float(np.max(np.abs(got_heat - want_heat))) / scale
+    assert err < 1e-3, f"keypoint heatmaps: normalized max err {err:.2e}"
+
+    got_kps = heatmaps_to_keypoints_np(got_heat, boxes)[:, :, [0, 1, 3]]
+    # positions come from per-keypoint argmaxes of bicubic-resized maps:
+    # equal argmax index -> bitwise-equal coords; near-exact logit ties may
+    # flip a rare argmax between torch's bicubic and the from-spec numpy one
+    pos_same = np.all(np.abs(got_kps[:, :, :2] - want_kps[:, :, :2]) < 1e-3,
+                      axis=-1)
+    assert pos_same.mean() > 0.95, f"keypoint argmax agreement {pos_same.mean():.3f}"
+    np.testing.assert_allclose(got_kps[pos_same][:, 2],
+                               want_kps[pos_same][:, 2], rtol=1e-3, atol=1e-5)
+
+
+def test_res5_roi_heads_vs_reference():
+    """Our C4 box path (models/res5_roi_heads.py) against the reference's
+    own Res5ROIHeads (pooler + res5 stage + FastRCNNOutputLayers +
+    fast_rcnn_inference, /root/reference/detectron2/modeling/roi_heads/
+    build.py:198-363) on identical res4 features, proposals, and shared
+    random weights.
+
+    The reference's Res5ROIHeads.forward is UNREACHABLE as written: it reads
+    ``x.proposal_boxes`` (attribute style) while its own
+    ``box_predictor.inference`` requires dict-style proposals
+    (fast_rcnn.py:257-279) — no one proposal container satisfies both, and
+    ``forward_with_given_boxes`` crashes when MASK_ON=False (self.mask_head
+    never assigned). This test therefore drives the reference's own
+    submodules exactly as forward composes them (pool -> res5 -> mean ->
+    predict -> inference) with dict proposals."""
+    from types import SimpleNamespace
+
+    from densepose_tpu.models.res5_roi_heads import res5_forward, res5_spec
+    from densepose_tpu.checkpoint.transform import torch_state_to_jax
+    from tests.test_realscale_parity import detection_tamed_state
+
+    rcfg = _ref_cfg3()
+    rcfg.MODEL.ROI_HEADS.NAME = "Res5ROIHeads"
+    rcfg.MODEL.ROI_HEADS.IN_FEATURES = ["res4"]
+    rcfg.MODEL.MASK_ON = False
+    rcfg.MODEL.KEYPOINT_ON = False
+    from detectron2.modeling.roi_heads.build import Res5ROIHeads
+
+    torch.manual_seed(3)
+    heads = Res5ROIHeads(rcfg, {"res4": SimpleNamespace(stride=16,
+                                                        channels=1024)})
+    heads.eval()
+
+    cfg = model_zoo.get_config("densepose_rcnn_R_50_FPN_s1x").clone()
+    cfg.defrost()
+    cfg.MODEL.ROI_HEADS.NAME = "Res5ROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["res4"]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 3
+    cfg.MODEL.DENSEPOSE_ON = False
+    cfg.freeze()
+
+    spec = res5_spec(cfg)
+    rng = np.random.RandomState(44)
+    state = detection_tamed_state(_make_state(spec, rng=rng))
+    sd = {k[len("roi_heads."):]: torch.from_numpy(v)
+          for k, v in state.items()}
+    missing, unexpected = heads.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected[:5]
+    assert not missing, missing[:5]
+
+    h, w = 30, 40  # res4 grid of a ~480x640 image
+    feat = (rng.randn(1, 1024, h, w) * 0.5).astype(np.float32)
+    sizes = [40, 90, 160, 260, 380]
+    props = np.array([[10 + 20 * i, 4 + 6 * i, 10 + 20 * i + s, 4 + 6 * i + s]
+                      for i, s in enumerate(sizes)] * 4, np.float32)
+    props += rng.rand(*props.shape).astype(np.float32) * 9
+    props[:, 2] = np.minimum(props[:, 2], 16.0 * w - 2)
+    props[:, 3] = np.minimum(props[:, 3], 16.0 * h - 2)
+
+    proposal_dict = {
+        "proposal_boxes": torch.from_numpy(props),
+        "image_size": torch.tensor([16 * h, 16 * w]),
+    }
+    with torch.no_grad():
+        box_features = heads._shared_roi_transform(
+            [torch.from_numpy(feat)], [proposal_dict["proposal_boxes"]])
+        predictions = heads.box_predictor(box_features.mean(dim=[2, 3]))
+        pred_instances, _ = heads.box_predictor.inference(
+            predictions, [proposal_dict])
+    ref = pred_instances[0]
+    n_ref = len(ref["scores"])
+    assert n_ref >= 3, "fixture produced too few reference detections"
+
+    params = {k: jnp.asarray(v) for k, v in torch_state_to_jax(
+        state, spec, fold_bn=False).items()}
+    feat_j = jnp.asarray(feat[0].transpose(1, 2, 0))
+    boxes_o, scores_o, classes_o, valid_o = jax.jit(
+        lambda pp, ff, pr: res5_forward(
+            pp, {"res4": ff}, pr, jnp.ones(len(props), bool), cfg))(
+        params, feat_j, jnp.asarray(props))
+
+    n = int(np.asarray(valid_o).sum())
+    assert n == n_ref, (n, n_ref)
+    np.testing.assert_allclose(np.asarray(scores_o)[:n],
+                               ref["scores"].numpy(), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(boxes_o)[:n],
+                               ref["pred_boxes"].numpy(), atol=0.05,
+                               rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(classes_o)[:n],
+                                  ref["pred_classes"].numpy())
+
+
+# ---------------------------------------------------------------------------
+# the resize path (k != 1) end-to-end vs the reference's own forward
+# (VERDICT r3 #3): the oracle geometry above pins k=1 by design; this test
+# bounds what the deliberate 1-LSB uint8-resize divergence
+# (test_realscale_parity.test_torch_uint8_resize_divergence_is_one_lsb:
+# torch's fixed-point uint8 bilinear kernel vs our float-resize+round spec,
+# engine/defaults.py:87-89) does to the reference's own final detections and
+# SIUV maps THROUGH the full network and NMS, in the style of the bf16 drift
+# envelope (matched-box pairs + same-box SIUV).
+# ---------------------------------------------------------------------------
+
+
+def test_resize_k_neq_1_envelope_vs_reference():
+    """592x800 input, MIN_SIZE_TEST=440 -> k = 0.743 (440x595 network
+    geometry): both sides really resize. Detections: count drift bounded,
+    matched-pair box/score drift bounded. SIUV: our stage chain on the
+    REFERENCE'S OWN pooler boxes (isolating resize-induced feature noise
+    from box-reassociation chaos), normalized max err bounded. Bounds are
+    measured envelopes with headroom, not exact-parity claims — exact-parity
+    at k=1 lives in the tests above; the 1-LSB input divergence is real and
+    deliberate (docs/ARCHITECTURE.md)."""
+    from densepose_tpu.models.fpn import fpn_forward
+    from densepose_tpu.models.roi_heads import densepose_stage_forward
+    from densepose_tpu.predictor import DensePosePredictor
+
+    h0, w0 = 592, 800
+    cfg = _our_cfg()
+    model = build_model(cfg)
+    spec = model.spec()
+    rng = np.random.RandomState(20260821)
+    state = _make_state(spec, rng=rng)
+    image = (rng.rand(h0, w0, 3) * 255).astype(np.uint8)
+
+    taps, ref = _reference_run(image, state, tap=True)
+
+    # both sides must agree on the resize TARGET exactly (ResizeShortestEdge
+    # rounding semantics) — padded-shape equality proves it
+    x, (h1, w1), _ = model.preprocess(jnp.asarray(image), (h0, w0))
+    assert (h1, w1) != (h0, w0), "k must differ from 1 in this test"
+    want_shape = tuple(taps["padded_input"].shape[-2:])
+    assert tuple(np.asarray(x).shape[-3:-1]) == want_shape, (
+        np.asarray(x).shape, want_shape)
+
+    # ---- full-pipeline detection envelope (matched pairs) ----
+    full = DensePosePredictor(
+        cfg, params=torch_state_to_jax(state, spec,
+                                       fold_bn=cfg.TPU.FOLD_FROZEN_BN)
+    ).predict_numpy(image)
+    n_ref = len(ref["scores"])
+    n_ours = int(full["num_instances"])
+    assert _nondegenerate_count(ref["pred_boxes"].numpy(), n_ref) >= min(
+        n_ref, 5), "fixture degenerated — comparison vacuous"
+    assert abs(n_ours - n_ref) <= max(3, n_ref // 4), (n_ours, n_ref)
+
+    k = min(n_ours, n_ref, 10)
+    b_ref = ref["pred_boxes"].numpy()[:k]
+    s_ref = ref["scores"].numpy()[:k]
+    b_ours = np.asarray(full["pred_boxes"])[:n_ours]
+    s_ours = np.asarray(full["scores"])[:n_ours]
+    dists = np.array([np.abs(b_ours - b_ref[i]).max(axis=1)
+                      for i in range(k)])          # (k, n_ours)
+    nearest = dists.argmin(axis=1)
+    matched = [i for i in range(k) if dists[i, nearest[i]] < 6.0]
+    box_drift = max((float(dists[i, nearest[i]]) for i in matched),
+                    default=0.0)
+    score_drift = max((float(abs(s_ref[i] - s_ours[nearest[i]]))
+                       for i in matched), default=0.0)
+
+    # ---- same-box SIUV envelope on the reference's own pooler boxes ----
+    params = {k2: jnp.asarray(v) for k2, v in torch_state_to_jax(
+        state, spec, fold_bn=False).items()}
+    feats = jax.jit(lambda pp, xx: fpn_forward(pp, xx, cfg))(params, x)
+    dp = jax.jit(lambda pp, ff, bb: densepose_stage_forward(
+        pp, ff, bb, cfg))(params, feats, jnp.asarray(taps["dp_boxes"].numpy()))
+    keymap = dict(coarse_segm="pred_densepose_coarse_segm",
+                  fine_segm="pred_densepose_fine_segm",
+                  u="pred_densepose_u", v="pred_densepose_v")
+    siuv_err = {}
+    for key, refkey in keymap.items():
+        got = _nchw(np.asarray(dp[key])[:n_ref])
+        want = ref[refkey].numpy()[:n_ref]
+        assert got.shape == want.shape, (key, got.shape, want.shape)
+        scale = max(float(np.std(want)), 1e-6)
+        siuv_err[key] = float(np.max(np.abs(got - want))) / scale
+
+    print(f"k!=1 envelope: matched {len(matched)}/{k} boxes, "
+          f"matched-box {box_drift:.3f}px, scores {score_drift:.4f}, "
+          f"dets {n_ours} vs {n_ref}, same-box SIUV normalized max err "
+          + ", ".join(f"{k2}={v:.3f}" for k2, v in siuv_err.items()))
+    assert len(matched) >= max(1, k // 2), (len(matched), k)
+    assert box_drift < 6.0
+    assert score_drift < 0.05
+    for key, err in siuv_err.items():
+        assert err < 0.5, f"{key}: same-box normalized max err {err:.3f}"
