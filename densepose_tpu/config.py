@@ -466,6 +466,16 @@ def _detectron2_defaults() -> CfgNode:
     # over high-latency device tunnels. Default off (the monolithic graph is
     # already past the throughput target at worst-case shapes).
     _C.TPU.BUCKETED_DENSEPOSE = False
+    # Input-GEOMETRY bucketing (0 = off): resize on the host (bit-identical
+    # numpy mirror of the in-graph resize) and pad the resized image up to a
+    # multiple of this quantum per axis, so one compiled graph per padded
+    # bucket serves every input size — a directory of mixed-size photos
+    # compiles a handful of graphs instead of one multi-minute compile per
+    # distinct (H0, W0). Must be a multiple of the backbone size
+    # divisibility (32; HRFPN 64). Detections match the per-shape graph
+    # within a tested envelope (the wider zero border is the same padding
+    # the reference's own batching applies); pad-region anchors are masked.
+    _C.TPU.GEOMETRY_BUCKET_QUANT = 0
     # In-graph detection-count bucketing via lax.switch: XLA:TPU executes
     # only the taken branch, so sparse frames skip most of the per-instance
     # DensePose head FLOPs with no host sync. Identical outputs on the valid

@@ -204,6 +204,92 @@ class GeneralizedRCNN:
             return "backbone"
         return None
 
+    def preprocess_bucketed(self, canvas_u8: jnp.ndarray, h1, w1,
+                            compute_dtype=jnp.float32) -> jnp.ndarray:
+        """Normalize a bucket canvas whose top-left (h1, w1) region holds the
+        HOST-resized image (ops/resize.py::resize_bilinear_np — bit-identical
+        to the in-graph resize) and whose remainder is zero. ``h1``/``w1``
+        are traced scalars; the dynamic mask reproduces jnp.pad's zeros
+        exactly, so inside the minimal-pad extent the tensor is bitwise what
+        ``preprocess`` would produce."""
+        hb, wb, _ = canvas_u8.shape
+        x = canvas_u8.astype(jnp.float32)
+        x = (x - self.pixel_mean) / self.pixel_std
+        row = jnp.arange(hb)[:, None, None] < h1
+        col = jnp.arange(wb)[None, :, None] < w1
+        return jnp.where(row & col, x, 0.0).astype(compute_dtype)
+
+    def forward_bucketed(self, params: Dict, canvas_u8: jnp.ndarray,
+                         sizes: jnp.ndarray, compute_dtype=jnp.float32,
+                         switched_densepose: bool = False,
+                         device_postprocess: bool = False) -> Dict[str, jnp.ndarray]:
+        """Full inference from a geometry-bucket canvas: one compiled graph
+        per PADDED bucket shape serves every input size mapping into it
+        (SURVEY section 7.3 hard-part 4, VERDICT r3 #4 — without this, a
+        directory of mixed-size photos costs one multi-minute compile per
+        distinct (H0, W0)).
+
+        ``canvas_u8``: (HB, WB, 3) uint8, top-left (h1, w1) = the host-
+        resized image (already in network channel order), rest zero.
+        ``sizes``: int32 (4,) = [h0, w0, h1, w1] — traced VALUES; shapes
+        stay static, so clips/rescales on them compile once per bucket.
+
+        Parity contract (tests/test_bucketing.py): the normalized input is
+        bitwise-equal to the per-shape graph's inside the minimal-pad
+        extent, and pad-region anchors are masked out of the RPN pool — the
+        remaining divergence is the wider zero border's conv-boundary
+        effect, the same class the reference itself accepts when its
+        batching pads images to a common size (ImageList.from_tensors), and
+        is envelope-bounded rather than exact."""
+        from .roi_heads import box_stage_forward
+        cfg = self.cfg
+        h0, w0, h1, w1 = sizes[0], sizes[1], sizes[2], sizes[3]
+        x = self.preprocess_bucketed(canvas_u8, h1, w1, compute_dtype)
+
+        _, bb_forward, _ = backbone_fns(cfg)
+        features = bb_forward(params, x, cfg)
+        div = size_divisibility(cfg)
+        hp = ((h1 + div - 1) // div) * div   # minimal-pad extent (traced)
+        wp = ((w1 + div - 1) // div) * div
+        hp_f, wp_f = hp.astype(jnp.float32), wp.astype(jnp.float32)
+        proposals, obj_logits, pvalid = rpn_forward(
+            params, features, (hp_f, wp_f), cfg,
+            anchor_valid_hw=(hp_f, wp_f))
+        if cfg.MODEL.ROI_HEADS.NAME == "Res5ROIHeads":
+            from .res5_roi_heads import res5_forward
+            boxes_net, scores, classes, dvalid = res5_forward(
+                params, features, proposals, pvalid, cfg)
+        else:
+            boxes_net, scores, classes, dvalid = box_stage_forward(
+                params, features, proposals, pvalid, cfg)
+
+        scale_x = w0.astype(jnp.float32) / w1.astype(jnp.float32)
+        scale_y = h0.astype(jnp.float32) / h1.astype(jnp.float32)
+        boxes = boxes_net * jnp.stack([scale_x, scale_y, scale_x, scale_y])
+        keep = nonempty_boxes(boxes)
+        valid = dvalid & keep
+        boxes = clip_boxes(boxes, (h0.astype(jnp.float32),
+                                   w0.astype(jnp.float32)))
+
+        result = {
+            "image_size": jnp.stack([h0, w0]),
+            "pred_boxes": boxes,
+            "scores": scores,
+            "pred_classes": classes,
+            "valid": valid,
+            "num_instances": valid.sum().astype(jnp.int32),
+        }
+        if cfg.MODEL.DENSEPOSE_ON:
+            if switched_densepose:
+                dp = self.forward_densepose_switched(
+                    params, features, boxes_net, result["num_instances"])
+            else:
+                dp = self.forward_densepose(params, features, boxes_net)
+            if device_postprocess and "pred_densepose_u" in dp:
+                dp = self.device_postprocess(dp)
+            result.update(dp)
+        return result
+
     def forward_int8_calibration(self, params: Dict, image_u8: jnp.ndarray,
                                  compute_dtype=jnp.float32,
                                  stat: str = "max") -> Dict[str, jnp.ndarray]:

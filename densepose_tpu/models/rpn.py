@@ -57,9 +57,18 @@ def rpn_forward(
     image_size_hw: Tuple[int, int],
     cfg,
     prefix: str = "proposal_generator.rpn_head",
+    anchor_valid_hw: Tuple = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """features: HWC maps for cfg.MODEL.RPN.IN_FEATURES levels.
-    image_size_hw: static (H_pad, W_pad) of the network input.
+    image_size_hw: (H_pad, W_pad) of the network input — static ints in the
+    per-shape graphs; traced scalars in the geometry-bucketed graph (the
+    clip is a value op, so dynamic bounds compile fine).
+
+    ``anchor_valid_hw``: optional traced (H, W) bound for the geometry-
+    bucketed path (rcnn.py::forward_bucketed): anchors whose centers fall
+    beyond it (i.e. grid positions that only exist because of bucket
+    padding) are masked to -inf objectness BEFORE top-k, so the proposal
+    pool matches what the minimally-padded per-shape graph would consider.
 
     Returns (proposals (K,4) f32, objectness (K,), valid (K,) bool) with
     K = POST_NMS_TOPK_TEST, sorted by objectness descending.
@@ -117,6 +126,14 @@ def rpn_forward(
         logits = logits.reshape(hwa)                    # (H*W*A,), order (y,x,a)
         deltas = deltas.reshape(hwa, 4)                 # channel = a*4+d -> (HWA, 4)
 
+        if anchor_valid_hw is not None:
+            vh, vw = anchor_valid_hw
+            anc_j = jnp.asarray(anc)
+            cx = (anc_j[:, 0] + anc_j[:, 2]) * 0.5
+            cy = (anc_j[:, 1] + anc_j[:, 3]) * 0.5
+            avalid = (cx < vw) & (cy < vh)
+            logits = jnp.where(avalid, logits.astype(jnp.float32), _NEG)
+
         k = min(hwa, pre_topk)
         top_scores, top_idx = jax.lax.top_k(logits.astype(jnp.float32), k)
         top_deltas = deltas[top_idx]
@@ -129,6 +146,10 @@ def rpn_forward(
             boxes = jnp.concatenate([boxes, jnp.zeros((pad, 4), jnp.float32)])
             top_scores = jnp.concatenate([top_scores, jnp.full((pad,), _NEG, jnp.float32)])
         valid = jnp.arange(max_k) < k
+        if anchor_valid_hw is not None:
+            # masked (pad-region) anchors can still enter the top-k when a
+            # level has fewer unmasked anchors than pre_topk — kill them
+            valid = valid & (top_scores > _NEG / 2)
         lvl_boxes.append(boxes)
         lvl_scores.append(top_scores)
         lvl_valid.append(valid)

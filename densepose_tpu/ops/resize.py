@@ -176,6 +176,26 @@ def resize_bilinear_packed(
     return y.T.reshape(h_out, w_out, c)
 
 
+def resize_bilinear_np(x: np.ndarray, out_hw: Tuple[int, int],
+                       scale: Optional[Tuple[float, float]] = None) -> np.ndarray:
+    """HOST (numpy) mirror of the in-graph preprocess resize, bit-identical:
+    the same ``_axis_weights`` taps and the same per-element fp32 lerp
+    (``a*w0 + b*w1`` — two correctly-rounded mults and one add, identical in
+    numpy and XLA) as ``resize_bilinear_packed``. Used by the geometry-
+    bucketing serving path (predictor) to resize on the host so one compiled
+    graph per PADDED geometry bucket serves every input size; equality is
+    pinned by tests/test_bucketing.py. Input uint8 or float; returns fp32."""
+    h_in, w_in = x.shape[:2]
+    h_out, w_out = out_hw
+    sh, sw = (scale if scale is not None else (None, None))
+    i0, i1, w0, w1 = _axis_weights(h_in, h_out, sh)
+    ya = x[i0].astype(np.float32)
+    yb = x[i1].astype(np.float32)
+    y = ya * w0[:, None, None] + yb * w1[:, None, None]
+    j0, j1, v0, v1 = _axis_weights(w_in, w_out, sw)
+    return y[:, j0] * v0[None, :, None] + y[:, j1] * v1[None, :, None]
+
+
 def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
     """Exact scale-2 half-pixel bilinear upsample as shift-adds.
 

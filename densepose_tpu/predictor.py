@@ -91,6 +91,17 @@ class DensePosePredictor:
         self._stage1_cache: Dict[Tuple[int, int], callable] = {}
         self._stage2_cache: Dict[int, callable] = {}
         self.bucketed = bool(cfg.TPU.BUCKETED_DENSEPOSE) and cfg.MODEL.DENSEPOSE_ON
+        self.geometry_quant = int(getattr(cfg.TPU, "GEOMETRY_BUCKET_QUANT", 0))
+        if self.geometry_quant:
+            from .models.rcnn import size_divisibility
+            div = size_divisibility(cfg)
+            assert self.geometry_quant % div == 0, (
+                f"TPU.GEOMETRY_BUCKET_QUANT must be a multiple of the "
+                f"backbone size divisibility ({div})")
+            assert not self.bucketed, (
+                "TPU.GEOMETRY_BUCKET_QUANT uses the one-graph forward; "
+                "disable TPU.BUCKETED_DENSEPOSE (TPU.SWITCHED_DENSEPOSE "
+                "provides in-graph detection bucketing)")
         d = cfg.TEST.DETECTIONS_PER_IMAGE
         self.buckets = sorted({b for b in (8, 16, 32, 64) if b < d} | {d})
         self._int8_needed = (((bool(getattr(cfg.TPU, "INT8_HEAD", False))
@@ -476,6 +487,8 @@ class DensePosePredictor:
         if self._int8_needed and not self._int8_ready:
             self._auto_calibrate(image_bgr_u8)
         h, w = image_bgr_u8.shape[:2]
+        if self.geometry_quant:
+            return self._call_geometry_bucketed(image_bgr_u8)
         if not self.bucketed:
             fn = self._get_fn((h, w))
             return fn(self.params, jnp.asarray(image_bgr_u8))
@@ -500,6 +513,41 @@ class DensePosePredictor:
         result = dict(result)
         result.update(dp)
         return result
+
+    def bucketize(self, image_bgr_u8: np.ndarray):
+        """Host side of the geometry-bucketed path: spec resize (numpy,
+        bit-identical to the in-graph resize) + zero-pad up to the bucket.
+        Returns (canvas_u8 (HB, WB, 3), sizes int32 [h0, w0, h1, w1])."""
+        from .models.rcnn import compute_resize
+        from .ops.resize import resize_bilinear_np
+        h0, w0 = image_bgr_u8.shape[:2]
+        k, h1, w1 = compute_resize(h0, w0, self.model.min_size,
+                                   self.model.max_size)
+        x = image_bgr_u8
+        if self.model.input_format == "RGB":  # defaults.py:81-83
+            x = x[:, :, ::-1]
+        y = resize_bilinear_np(x, (h1, w1), scale=(k, k))
+        resized = np.clip(np.rint(y), 0, 255).astype(np.uint8)
+        q = self.geometry_quant
+        hb = (h1 + q - 1) // q * q
+        wb = (w1 + q - 1) // q * q
+        canvas = np.zeros((hb, wb, 3), np.uint8)
+        canvas[:h1, :w1] = resized
+        return canvas, np.asarray([h0, w0, h1, w1], np.int32)
+
+    def _call_geometry_bucketed(self, image_bgr_u8: np.ndarray):
+        canvas, sizes = self.bucketize(image_bgr_u8)
+        key = ("geom", canvas.shape[0], canvas.shape[1])
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            from functools import partial
+            fn = jax.jit(partial(
+                self.model.forward_bucketed,
+                compute_dtype=self.compute_dtype,
+                switched_densepose=bool(self.cfg.TPU.SWITCHED_DENSEPOSE),
+                device_postprocess=bool(self.cfg.TPU.DEVICE_POSTPROCESS)))
+            self._jit_cache[key] = fn
+        return fn(self.params, jnp.asarray(canvas), jnp.asarray(sizes))
 
     def predict_numpy(self, image_bgr_u8: np.ndarray) -> Dict[str, np.ndarray]:
         return self.numpy_outputs(self(image_bgr_u8))
