@@ -25,16 +25,27 @@ StateDict = Dict[str, np.ndarray]
 
 
 def random_torch_state(spec: Spec, seed: int = 0, scale: float = 0.03) -> StateDict:
-    """Random torch-layout params for tests/benches (no checkpoint needed)."""
+    """Random torch-layout params for tests/benches (no checkpoint needed).
+
+    Norm statistics must be PLAUSIBLE, not merely random: a running_var
+    drawn from randn is negative half the time and the FrozenBN fold's
+    sqrt then poisons the whole net with NaNs. Norm keys are detected by
+    suffix (``running_var``/``running_mean``) and by sibling — detectron2
+    names them ``.norm.weight`` but HRNet's torchvision-style blocks use
+    ``bn1.weight``/``bn2.weight`` etc., so a norm WEIGHT is any ``.weight``
+    whose prefix also owns a ``running_var`` — OR any ``.norm.weight``
+    (GroupNorm has no running stats but its scale must still sit near 1;
+    this also keeps the RNG stream bitwise-identical to the pre-HRNet-fix
+    generator for every detectron2-named family)."""
     rng = np.random.RandomState(seed)
     out: StateDict = {}
     for name, ps in spec.items():
-        if name.endswith(".norm.running_var"):
+        if name.endswith("running_var"):
             out[name] = (rng.rand(*ps.shape).astype(np.float32) * 0.5 + 0.5)
-        elif name.endswith(".norm.weight"):
+        elif name.endswith(".norm.weight") or (
+                name.endswith(".weight")
+                and name[:-len("weight")] + "running_var" in spec):
             out[name] = (rng.rand(*ps.shape).astype(np.float32) * 0.5 + 0.75)
-        elif ps.kind == "vec":
-            out[name] = (rng.randn(*ps.shape) * scale).astype(np.float32)
         else:
             out[name] = (rng.randn(*ps.shape) * scale).astype(np.float32)
     return out
