@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""On-chip WALL-CLOCK video throughput through the FULL host pipeline
+(VERDICT r3 #2): decode -> predict -> extract/visualize -> encode.
+
+bench.py measures device-side forward time; the north-star metric is
+frames/sec/chip of the delivered system. This tool runs a real mp4 through
+run.py's streaming pipeline (parallel/pipeline.py) and reports:
+
+* wall-clock steady-state fps of the full pipeline (decode+predict+
+  visualize+encode, overlapped),
+* the host-side stage split measured in isolation (decode / D2H+trim /
+  visualize / encode per frame),
+* the device-only predict fps for the same frames (same protocol as
+  bench.py: distinct frames, completion forced by fetching outputs).
+
+    python tools/bench_video.py [video.mp4] [--mode exact|serving]
+                                [--frames N] [--vis fine_segm]
+
+Without a video argument a synthetic 720p clip with moving blobs is
+generated (decode cost is real — it is a real H.264/mp4v stream).
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def make_clip(path: str, n_frames: int, w: int = 1280, h: int = 720,
+              fps: int = 30) -> str:
+    import cv2
+    import numpy as np
+    rng = np.random.RandomState(0)
+    base = (rng.rand(h, w, 3) * 80 + 60).astype(np.uint8)
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (w, h))
+    for i in range(n_frames):
+        f = base.copy()
+        # moving "person-ish" blobs -> frame-to-frame variation (the bench
+        # honesty rule: never feed identical frames; the tunnel memoizes)
+        for b in range(6):
+            cx = int((0.1 + 0.13 * b) * w + 40 * np.sin(0.1 * i + b))
+            cy = int(0.5 * h + 60 * np.cos(0.08 * i + 1.7 * b))
+            cv2.ellipse(f, (cx, cy), (45, 110), 0, 0, 360,
+                        (int(170 + 10 * b) % 255, 140, 120), -1)
+            cv2.circle(f, (cx, cy - 140), 32, (180, 160, 150), -1)
+        writer.write(f)
+    writer.release()
+    return path
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    mode = "serving"
+    n_frames = 240
+    vis_mode = "fine_segm"
+    video = None
+    cpu = False
+    size = (1280, 720)
+    extra_opts = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--mode":
+            mode = args[i + 1]; i += 2
+        elif a == "--frames":
+            n_frames = int(args[i + 1]); i += 2
+        elif a == "--vis":
+            vis_mode = args[i + 1]; i += 2
+        elif a == "--cpu":
+            cpu = True; i += 1
+        elif a == "--size":
+            size = tuple(int(x) for x in args[i + 1].split("x")); i += 2
+        elif a == "--opts":
+            extra_opts = args[i + 1:]; i = len(args)
+        else:
+            video = a; i += 1
+
+    if cpu:
+        # must flip BEFORE any device touch (env var alone is not enough:
+        # backend listing still probes the axon plugin, which hangs when
+        # the tunnel relay is down)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import cv2
+    import numpy as np
+
+    if video is None:
+        video = make_clip("/tmp/bench_clip.mp4", n_frames, *size)
+
+    from densepose_tpu import model_zoo
+    from densepose_tpu.predictor import DensePosePredictor
+    from densepose_tpu.visualizer import End2EndVisualizer
+    from densepose_tpu.parallel.pipeline import run_video
+
+    cfg = model_zoo.get_config("densepose_rcnn_R_50_FPN_s1x").clone()
+    cfg.defrost()
+    cfg.merge_from_list(["TPU.COMPUTE_DTYPE", "bfloat16",
+                         "MODEL.ROI_HEADS.SCORE_THRESH_TEST", "0.3"]
+                        + list(extra_opts))
+    if mode == "serving":
+        # the video-serving config: int8 head (detections bit-exact) +
+        # device-side extraction (~20x less D2H traffic)
+        cfg.TPU.INT8_HEAD = True
+        cfg.TPU.DEVICE_POSTPROCESS = True
+    cfg.freeze()
+    pred = DensePosePredictor(cfg, seed=0)
+    visualizer = End2EndVisualizer(alpha=0.7, keep_bg=False, mode=vis_mode)
+
+    # ---- decode the clip once for the stage-isolation measurements ----
+    cap = cv2.VideoCapture(video)
+    frames = []
+    t0 = time.perf_counter()
+    while True:
+        ret, f = cap.read()
+        if not ret:
+            break
+        frames.append(f)
+    decode_s = time.perf_counter() - t0
+    cap.release()
+    n = len(frames)
+    assert n >= 32, f"clip too short: {n}"
+    h, w = frames[0].shape[:2]
+
+    if pred._int8_needed and not pred._int8_ready:
+        pred.calibrate_int8(frames[:2])
+
+    # ---- device-only predict fps (distinct frames; fetch forces sync) ----
+    outs0 = pred.predict_numpy(frames[0])  # compile
+    t0 = time.perf_counter()
+    k = min(n, 48)
+    host_outputs = [pred(f) for f in frames[:k]]          # async dispatch
+    host_outputs = [pred.numpy_outputs(o) for o in host_outputs]  # fetch all
+    predict_s = (time.perf_counter() - t0) / k
+
+    # ---- host stage split on real outputs ----
+    t0 = time.perf_counter()
+    vis_frames = [visualizer.visualize(frames[i].copy(), host_outputs[i])
+                  for i in range(min(k, 32))]
+    visualize_s = (time.perf_counter() - t0) / len(vis_frames)
+
+    writer = cv2.VideoWriter("/tmp/bench_clip_enc.mp4",
+                             cv2.VideoWriter_fourcc(*"mp4v"),
+                             30, (w, h))
+    t0 = time.perf_counter()
+    for f in vis_frames:
+        writer.write(f)
+    encode_s = (time.perf_counter() - t0) / len(vis_frames)
+    writer.release()
+
+    # ---- the real thing: full streaming pipeline, wall clock ----
+    out_path = "/tmp/bench_clip_pred.mp4"
+    # the per-shape graph is already compiled (predict loop above), so the
+    # whole run IS steady state — no warmup frame to exclude
+    t0 = time.perf_counter()
+    run_video(pred, visualizer, video, out_path, batch=1)
+    wall_s = time.perf_counter() - t0
+    wall_fps = n / wall_s if wall_s > 0 else 0.0
+
+    result = {
+        "metric": "video_wall_clock_fps",
+        "value": round(wall_fps, 2),
+        "unit": "fps",
+        "mode": mode,
+        "n_frames": n,
+        "resolution": f"{w}x{h}",
+        "stage_ms_per_frame": {
+            "decode": round(decode_s / n * 1e3, 2),
+            "predict_incl_transfer": round(predict_s * 1e3, 2),
+            "visualize": round(visualize_s * 1e3, 2),
+            "encode": round(encode_s * 1e3, 2),
+        },
+        "detections_first_frame": int(outs0["num_instances"]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
