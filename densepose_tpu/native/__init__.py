@@ -41,9 +41,16 @@ def _build() -> Optional[ctypes.CDLL]:
             cc = os.environ.get("CC", "cc")
             # per-pid tmp name: concurrent processes never write the same file
             tmp = f"{so_path}.{os.getpid()}.tmp"
-            subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC, "-lm"],
-                check=True, capture_output=True)
+            try:
+                subprocess.run(
+                    [cc, "-O3", "-march=native", "-shared", "-fPIC",
+                     "-o", tmp, _SRC, "-lm"],
+                    check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                # cross/old compilers without -march=native
+                subprocess.run(
+                    [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC, "-lm"],
+                    check=True, capture_output=True)
             os.replace(tmp, so_path)
         lib = ctypes.CDLL(so_path)
         lib.resample_instance.restype = None
@@ -53,6 +60,21 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.resample_instance_chw.restype = None
+        lib.resample_instance_chw.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.blend_overlay.restype = None
+        lib.blend_overlay.argtypes = [
+            u8p, ctypes.c_int, u8p, u8p, u8p, u8p,
+            ctypes.c_int, ctypes.c_int,
         ]
         return lib
     except Exception as e:  # no compiler / sandboxed FS: numpy fallback
@@ -98,3 +120,70 @@ def resample_instance_native(
         uv.ctypes.data_as(fp),
     )
     return labels.astype(np.int64), uv
+
+
+def resample_instance_native_chw(
+    coarse: np.ndarray, fine: np.ndarray,
+    u: Optional[np.ndarray], v: Optional[np.ndarray],
+    out_h: int, out_w: int, need_uv: bool = True,
+) -> Optional[Tuple[np.ndarray, Optional[np.ndarray]]]:
+    """CHW edition: all inputs (C, H, W) float32 — the predictor's NCHW
+    output sliced per instance, so no transpose/copy is needed. With
+    ``need_uv=False`` the U/V gather is skipped and uv comes back None
+    (the fine-segm overlay consumes labels only). Returns None when the
+    native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    coarse = np.ascontiguousarray(coarse, dtype=np.float32)
+    fine = np.ascontiguousarray(fine, dtype=np.float32)
+    kc, in_h, in_w = coarse.shape
+    kf = fine.shape[0]
+    labels = np.empty((out_h, out_w), dtype=np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    if need_uv:
+        u = np.ascontiguousarray(u, dtype=np.float32)
+        v = np.ascontiguousarray(v, dtype=np.float32)
+        uv = np.empty((2, out_h, out_w), dtype=np.float32)
+        u_p, v_p, uv_p = (u.ctypes.data_as(fp), v.ctypes.data_as(fp),
+                          uv.ctypes.data_as(fp))
+    else:
+        uv = None
+        u_p = v_p = uv_p = None
+    lib.resample_instance_chw(
+        coarse.ctypes.data_as(fp), kc,
+        fine.ctypes.data_as(fp), kf,
+        u_p, v_p,
+        in_h, in_w, out_h, out_w, int(need_uv),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        uv_p,
+    )
+    return labels.astype(np.int64), uv
+
+
+def blend_overlay_native(
+    roi: np.ndarray, matrix: np.ndarray, mask: np.ndarray,
+    cmap_bgr: np.ndarray, blend_lut: np.ndarray,
+) -> bool:
+    """In-place colormap+mask+alpha-blend of one box. ``roi`` is a (h, w, 3)
+    uint8 VIEW into the full image (any row stride, pixels contiguous);
+    matrix/mask are (h, w) uint8; cmap_bgr (256, 3); blend_lut (256, 256)
+    with blend_lut[r, v] = blended byte. Returns False (caller falls back)
+    when the native lib is unavailable or the view layout is unsupported."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    h, w = matrix.shape
+    if (roi.shape != (h, w, 3) or roi.dtype != np.uint8
+            or roi.strides[2] != 1 or roi.strides[1] != 3):
+        return False
+    matrix = np.ascontiguousarray(matrix, dtype=np.uint8)
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.blend_overlay(
+        roi.ctypes.data_as(u8p), roi.strides[0],
+        matrix.ctypes.data_as(u8p), mask.ctypes.data_as(u8p),
+        cmap_bgr.ctypes.data_as(u8p), blend_lut.ctypes.data_as(u8p),
+        h, w,
+    )
+    return True

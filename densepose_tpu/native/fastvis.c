@@ -41,6 +41,119 @@ static inline float blerp(const float *img, int W, int C,
     return top + (bot - top) * wy;
 }
 
+/* CHW edition: inputs are (C, H, W) float32 planes — the device/predictor
+ * output layout — so the caller skips the per-instance HWC transpose+copy
+ * entirely (measured ~13 ms/frame at 720p x 12 instances). need_uv=0 skips
+ * the U/V gather (the fine-segm overlay uses labels only). */
+static inline float blerp_chw(const float *plane, int W,
+                              int o00, int o01, int o10, int o11,
+                              float wx, float wy) {
+    const float a = plane[o00];
+    const float b = plane[o01];
+    const float d = plane[o10];
+    const float e = plane[o11];
+    float top = a + (b - a) * wx;
+    float bot = d + (e - d) * wx;
+    return top + (bot - top) * wy;
+}
+
+void resample_instance_chw(
+    const float *coarse, int kc,   /* (kc, H, W) */
+    const float *fine,   int kf,   /* (kf, H, W) */
+    const float *u, const float *v, /* (kf, H, W); may be NULL if !need_uv */
+    int in_h, int in_w,
+    int out_h, int out_w,
+    int need_uv,
+    int32_t *labels_out,           /* (out_h * out_w) */
+    float *uv_out                  /* (2 * out_h * out_w); NULL if !need_uv */
+) {
+    const float ry = (float)in_h / (float)out_h;
+    const float rx = (float)in_w / (float)out_w;
+    const int npix = out_h * out_w;
+    const int plane = in_h * in_w;
+
+    for (int oy = 0; oy < out_h; ++oy) {
+        int y0, y1; float wy;
+        axis_coord(oy, in_h, ry, &y0, &y1, &wy);
+        const int r0 = y0 * in_w, r1 = y1 * in_w;
+        for (int ox = 0; ox < out_w; ++ox) {
+            int x0, x1; float wx;
+            axis_coord(ox, in_w, rx, &x0, &x1, &wx);
+            const int o00 = r0 + x0, o01 = r0 + x1;
+            const int o10 = r1 + x0, o11 = r1 + x1;
+
+            int best_c = 0; float best_cv = -1e30f;
+            for (int c = 0; c < kc; ++c) {
+                float val = blerp_chw(coarse + c * plane, in_w,
+                                      o00, o01, o10, o11, wx, wy);
+                if (val > best_cv) { best_cv = val; best_c = c; }
+            }
+            int label = 0;
+            if (best_c > 0) {
+                int best_f = 0; float best_fv = -1e30f;
+                for (int c = 0; c < kf; ++c) {
+                    float val = blerp_chw(fine + c * plane, in_w,
+                                          o00, o01, o10, o11, wx, wy);
+                    if (val > best_fv) { best_fv = val; best_f = c; }
+                }
+                label = best_f;
+            }
+            const int o = oy * out_w + ox;
+            labels_out[o] = label;
+            if (need_uv) {
+                if (label > 0) {
+                    uv_out[o] = blerp_chw(u + label * plane, in_w,
+                                          o00, o01, o10, o11, wx, wy);
+                    uv_out[npix + o] = blerp_chw(v + label * plane, in_w,
+                                                 o00, o01, o10, o11, wx, wy);
+                } else {
+                    uv_out[o] = 0.0f;
+                    uv_out[npix + o] = 0.0f;
+                }
+            }
+        }
+    }
+}
+
+/* Fused overlay blend: colormap lookup + background passthrough + the
+ * bit-exact trunc(roi*(1-a) + vis*a) blend (as a precomputed 256x256 LUT),
+ * one pass over the box ROI in place. Replaces cv2.applyColorMap + two
+ * boolean gathers + a (256,256) numpy fancy-index per box (~10 ms/frame at
+ * 720p x 12 boxes).
+ *
+ * roi points at the box's top-left pixel INSIDE the full uint8 BGR image;
+ * row_stride is the full image's row pitch in bytes. cmap is a 256x3 BGR
+ * table with any val_scale pre-folded; blend_lut[r*256+v] = blended. */
+void blend_overlay(
+    uint8_t *roi, int row_stride,
+    const uint8_t *matrix, const uint8_t *mask, /* (h, w) */
+    const uint8_t *cmap,                        /* (256, 3) BGR */
+    const uint8_t *blend_lut,                   /* (256, 256) */
+    int h, int w
+) {
+    for (int y = 0; y < h; ++y) {
+        uint8_t *row = roi + (long)y * row_stride;
+        const uint8_t *mrow = matrix + (long)y * w;
+        const uint8_t *krow = mask + (long)y * w;
+        for (int x = 0; x < w; ++x) {
+            uint8_t *px = row + 3 * x;
+            if (krow[x]) {
+                const uint8_t *c = cmap + 3 * mrow[x];
+                px[0] = blend_lut[((int)px[0] << 8) | c[0]];
+                px[1] = blend_lut[((int)px[1] << 8) | c[1]];
+                px[2] = blend_lut[((int)px[2] << 8) | c[2]];
+            } else {
+                /* background: vis==roi -> blend(roi, roi) (the reference's
+                 * float64 chain darkens some values by 1 LSB; the LUT
+                 * reproduces it exactly) */
+                px[0] = blend_lut[((int)px[0] << 8) | px[0]];
+                px[1] = blend_lut[((int)px[1] << 8) | px[1]];
+                px[2] = blend_lut[((int)px[2] << 8) | px[2]];
+            }
+        }
+    }
+}
+
 void resample_instance(
     const float *coarse, int kc,   /* (H, W, kc) */
     const float *fine,   int kf,   /* (H, W, kf) */

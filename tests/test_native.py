@@ -58,3 +58,61 @@ def test_native_is_used_by_visualizer():
     labels, uv = resample_fine_and_uv(coarse, fine, u, v, (3, 4, 40, 30))
     assert labels.shape == (30, 40)
     assert uv.shape == (2, 30, 40)
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C compiler available")
+@pytest.mark.parametrize("need_uv", [True, False])
+def test_native_chw_matches_hwc(need_uv):
+    """The CHW kernel (consumes predictor NCHW slices with no transpose)
+    computes the identical result to the HWC kernel."""
+    from densepose_tpu.native import resample_instance_native_chw
+    coarse = RNG.randn(112, 112, 2).astype(np.float32)
+    fine = RNG.randn(112, 112, 25).astype(np.float32)
+    u = RNG.rand(112, 112, 25).astype(np.float32)
+    v = RNG.rand(112, 112, 25).astype(np.float32)
+    labels_h, uv_h = resample_instance_native(coarse, fine, u, v, 173, 149)
+    chw = lambda a: np.ascontiguousarray(a.transpose(2, 0, 1))
+    got = resample_instance_native_chw(
+        chw(coarse), chw(fine),
+        chw(u) if need_uv else None, chw(v) if need_uv else None,
+        173, 149, need_uv=need_uv)
+    assert got is not None
+    labels_c, uv_c = got
+    np.testing.assert_array_equal(labels_c, labels_h)
+    if need_uv:
+        np.testing.assert_array_equal(uv_c, uv_h)
+    else:
+        assert uv_c is None
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C compiler available")
+def test_native_blend_matches_numpy_chain():
+    """blend_overlay (colormap+mask+alpha in one C pass) is byte-identical
+    to the numpy fallback chain in MatrixVisualizer.visualize — including
+    the reference's 1-LSB background darkening artifact."""
+    import cv2
+    from densepose_tpu.visualizer import MatrixVisualizer
+
+    h, w = 87, 61
+    img_a = (RNG.rand(120, 160, 3) * 255).astype(np.uint8)
+    img_b = img_a.copy()
+    matrix = RNG.randint(0, 25, (h, w)).astype(np.uint8)
+    mask = (RNG.rand(h, w) > 0.4).astype(np.uint8)
+    bbox = (13, 9, w, h)
+
+    mv = MatrixVisualizer(val_scale=255 / 24.0, alpha=0.7)
+    ok = __import__("densepose_tpu.native", fromlist=["blend_overlay_native"]
+                    ).blend_overlay_native(
+        img_a[9:9 + h, 13:13 + w, :], matrix, mask,
+        mv._cmap_table, mv._blend_lut)
+    assert ok, "native blend unavailable despite compiler present"
+
+    # numpy chain (the in-function fallback, replicated)
+    scaled = (matrix.astype(np.float32) * mv.val_scale).clip(0, 255).astype(np.uint8)
+    vis = cv2.applyColorMap(scaled, mv.cmap)
+    roi = img_b[9:9 + h, 13:13 + w, :]
+    bg = mask == 0
+    vis[bg] = roi[bg]
+    img_b[9:9 + h, 13:13 + w, :] = mv._blend_lut[roi, vis]
+
+    np.testing.assert_array_equal(img_a, img_b)
