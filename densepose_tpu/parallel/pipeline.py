@@ -83,15 +83,28 @@ def run_video(predictor, visualizer, input_path: str, save_path: str,
         processed += 1
         print(f"Frame {processed}/{n_frames} processed", end="\r")
 
+    # fetch only the maps the overlay consumes (End2EndVisualizer.fetch_keys)
+    # — unused maps then never cross the device->host link
+    fetch = getattr(visualizer, "fetch_keys", lambda: None)()
+
     def flush(frame, outputs):
-        write_vis(visualizer.visualize(frame, predictor.numpy_outputs(outputs)))
+        write_vis(visualizer.visualize(
+            frame, predictor.numpy_outputs(outputs, keys=fetch)))
 
     def flush_group(frames, outputs, count):
         # ONE device->host fetch per key for the whole batch (per-frame
         # device-array slicing would dispatch eager ops — seconds each over
         # a remote tunnel), then split into per-frame dicts on the host;
         # padded tail rows are dropped.
-        host = {k: np.asarray(v) for k, v in outputs.items()}
+        keep = (None if fetch is None else
+                set(fetch) | {"num_instances", "valid", "image_size",
+                              "pred_boxes", "scores", "pred_classes"})
+        wanted = {k: v for k, v in outputs.items()
+                  if keep is None or k in keep}
+        for v in wanted.values():
+            if hasattr(v, "copy_to_host_async"):
+                v.copy_to_host_async()
+        host = {k: np.asarray(v) for k, v in wanted.items()}
         for i in range(count):
             flush(frames[i], {k: v[i] for k, v in host.items()})
 

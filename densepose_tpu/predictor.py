@@ -608,9 +608,26 @@ class DensePosePredictor:
         return exported.call
 
     @staticmethod
-    def numpy_outputs(outputs: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
+    def numpy_outputs(outputs: Dict[str, jnp.ndarray],
+                      keys=None) -> Dict[str, np.ndarray]:
         """Trim padded slots and convert DensePose maps to the reference's
-        NCHW layout (postprocessing.py:52-61 key set)."""
+        NCHW layout (postprocessing.py:52-61 key set).
+
+        ``keys``: optional iterable restricting which ``pred_densepose_*``
+        maps are fetched from the device — the remote-tunnel D2H cost is per
+        array, so a consumer that only renders labels (the fine-segm
+        overlay) skips the UV/logit traffic entirely. Core detection keys
+        are always fetched."""
+        if keys is not None:
+            keep = set(keys) | {"num_instances", "valid", "image_size",
+                                "pred_boxes", "scores", "pred_classes"}
+            outputs = {k: v for k, v in outputs.items() if k in keep}
+        # start every D2H together so round-trips overlap instead of
+        # serializing (per-key blocking asarray measured ~RTT each over the
+        # axon tunnel)
+        for v in outputs.values():
+            if hasattr(v, "copy_to_host_async"):
+                v.copy_to_host_async()
         out = {k: np.asarray(v) for k, v in outputs.items()}
         n = int(out.pop("num_instances"))
         valid = out.pop("valid")

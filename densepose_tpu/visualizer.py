@@ -126,11 +126,14 @@ class DensePoseResultExtractor:
         if not device_pp:
             # one asarray per key (slices of the C-contiguous NCHW stack are
             # themselves contiguous CHW — the native kernel reads them with
-            # no transpose/copy)
+            # no transpose/copy). U/V may be absent when the producer
+            # filtered its device fetch (numpy_outputs(keys=...)).
             coarse_all = np.asarray(outputs["pred_densepose_coarse_segm"])
             fine_all = np.asarray(outputs["pred_densepose_fine_segm"])
-            u_all = np.asarray(outputs["pred_densepose_u"])
-            v_all = np.asarray(outputs["pred_densepose_v"])
+            u_all = (np.asarray(outputs["pred_densepose_u"])
+                     if need_uv or "pred_densepose_u" in outputs else None)
+            v_all = (np.asarray(outputs["pred_densepose_v"])
+                     if u_all is not None else None)
 
         def hwc(a):
             # (C, H, W) map -> the HWC form resample_fine_and_uv wants
@@ -144,17 +147,20 @@ class DensePoseResultExtractor:
                 x, y, w, h = [int(q) for q in boxes_xywh[i]]
                 w, h = max(w, 1), max(h, 1)
                 lab_grid = np.asarray(outputs["pred_densepose_labels"][i])
-                uv_grid = np.asarray(outputs["pred_densepose_uv"][i],
-                                     dtype=np.float32)  # (2,H,W)
                 gy = np.minimum((np.arange(h) * lab_grid.shape[0] / h).astype(int),
                                 lab_grid.shape[0] - 1)
                 gx = np.minimum((np.arange(w) * lab_grid.shape[1] / w).astype(int),
                                 lab_grid.shape[1] - 1)
                 labels = lab_grid[gy][:, gx].astype(np.int64)
-                uv = np.stack([
-                    _resize_bilinear_np(uv_grid[0][..., None], (h, w))[..., 0],
-                    _resize_bilinear_np(uv_grid[1][..., None], (h, w))[..., 0],
-                ]) if need_uv else None
+                if need_uv:
+                    uv_grid = np.asarray(outputs["pred_densepose_uv"][i],
+                                         dtype=np.float32)  # (2,H,W)
+                    uv = np.stack([
+                        _resize_bilinear_np(uv_grid[0][..., None], (h, w))[..., 0],
+                        _resize_bilinear_np(uv_grid[1][..., None], (h, w))[..., 0],
+                    ])
+                else:
+                    uv = None
             else:
                 x, y, w, h = [int(q) for q in boxes_xywh[i]]
                 w, h = max(w, 1), max(h, 1)
@@ -166,9 +172,13 @@ class DensePoseResultExtractor:
                 if native is not None:
                     labels, uv = native  # uv is None when !need_uv
                 else:
+                    ua = u_all if u_all is not None else np.zeros_like(fine_all)
+                    va = v_all if v_all is not None else ua
                     labels, uv = resample_fine_and_uv(
                         hwc(coarse_all[i]), hwc(fine_all[i]),
-                        hwc(u_all[i]), hwc(v_all[i]), boxes_xywh[i])
+                        hwc(ua[i]), hwc(va[i]), boxes_xywh[i])
+                    if not need_uv:
+                        uv = None
             return {"labels": labels, "uv": uv}
 
         if n > 4 and (os.cpu_count() or 1) > 1:
@@ -369,6 +379,9 @@ class CseVisualizer:
             self.mask_visualizer.visualize(image_bgr, mask, matrix, box)
         return image_bgr
 
+    def fetch_keys(self):
+        return {"pred_densepose_embedding", "pred_densepose_coarse_segm"}
+
 
 class End2EndVisualizer:
     """Extract + overlay, one call per frame (visualizer.py:132-139).
@@ -398,3 +411,20 @@ class End2EndVisualizer:
             return self.visualizer.visualize(image_bgr, outputs)
         data = self.extractor(outputs, need_uv=self.mode in ("u", "v"))
         return self.visualizer.visualize(image_bgr, data)
+
+    def fetch_keys(self):
+        """The pred_densepose_* maps this overlay actually consumes — a
+        streaming consumer (parallel/pipeline.py) passes this to
+        ``numpy_outputs(keys=...)`` so unused maps never cross the
+        device->host link (the labels-only fine-segm overlay then moves
+        ~5x fewer bytes per frame in DEVICE_POSTPROCESS serving). Both the
+        raw and device-postprocessed key names are listed; absent ones are
+        ignored by the fetch."""
+        if self.mode == "bbox":
+            return set()
+        keys = {"pred_densepose_labels", "pred_densepose_coarse_segm",
+                "pred_densepose_fine_segm"}
+        if self.mode in ("u", "v"):
+            keys |= {"pred_densepose_uv", "pred_densepose_u",
+                     "pred_densepose_v"}
+        return keys
