@@ -76,6 +76,11 @@ def _build() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int, u8p, u8p, u8p, u8p,
             ctypes.c_int, ctypes.c_int,
         ]
+        lib.blend_labels_grid.restype = None
+        lib.blend_labels_grid.argtypes = [
+            u8p, ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int,
+            u8p, u8p, ctypes.c_int, ctypes.c_int,
+        ]
         return lib
     except Exception as e:  # no compiler / sandboxed FS: numpy fallback
         logger.info("native fastvis unavailable (%s); using numpy fallback", e)
@@ -159,6 +164,35 @@ def resample_instance_native_chw(
         uv_p,
     )
     return labels.astype(np.int64), uv
+
+
+def blend_labels_grid_native(
+    roi: np.ndarray, grid: np.ndarray,
+    cmap_bgr: np.ndarray, blend_lut: np.ndarray,
+) -> bool:
+    """Fused device-postprocess fine-segm overlay for one instance:
+    nearest-resample the (gh, gw) uint8 label grid to the ROI size,
+    colormap, and alpha-blend, in place — byte-identical to the unfused
+    grid-paste + ``blend_overlay`` chain. ``roi`` is a (h, w, 3) uint8 VIEW
+    into the full image. Returns False (caller falls back) when the native
+    lib is unavailable or the layout is unsupported."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    if (roi.ndim != 3 or roi.shape[2] != 3 or roi.dtype != np.uint8
+            or roi.strides[2] != 1 or roi.strides[1] != 3
+            or roi.shape[1] > 4096):
+        return False
+    grid = np.ascontiguousarray(grid, dtype=np.uint8)
+    gh, gw = grid.shape
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.blend_labels_grid(
+        roi.ctypes.data_as(u8p), roi.strides[0],
+        grid.ctypes.data_as(u8p), gh, gw,
+        cmap_bgr.ctypes.data_as(u8p), blend_lut.ctypes.data_as(u8p),
+        roi.shape[0], roi.shape[1],
+    )
+    return True
 
 
 def blend_overlay_native(

@@ -154,6 +154,50 @@ void blend_overlay(
     }
 }
 
+/* Fully fused device-postprocess fine-segm overlay: nearest-sample one
+ * instance's uint8 label grid (TPU.DEVICE_POSTPROCESS output) to the box
+ * size, colormap, and alpha-blend — one in-place pass with NO box-sized
+ * intermediates. Byte-identical to the unfused chain
+ * (lab_grid[gy][:, gx] -> MatrixVisualizer -> blend_overlay): the nearest
+ * index is trunc(y * gh / h) exactly like numpy's
+ * (arange(h) * gh / h).astype(int) — integer products are exact in float64,
+ * so integer division reproduces the truncation — and the colormap/blend
+ * LUTs are the same tables. */
+void blend_labels_grid(
+    uint8_t *roi, int row_stride,
+    const uint8_t *grid, int gh, int gw,  /* (gh, gw) uint8 labels */
+    const uint8_t *cmap,                  /* (256, 3) BGR, val_scale folded */
+    const uint8_t *blend_lut,             /* (256, 256) */
+    int h, int w
+) {
+    int gx_idx[4096];
+    if (w > 4096) return;  /* caller pre-checks; belt and braces */
+    for (int x = 0; x < w; ++x) {
+        long gx = (long)x * gw / w;
+        gx_idx[x] = gx > gw - 1 ? gw - 1 : (int)gx;
+    }
+    for (int y = 0; y < h; ++y) {
+        long gy = (long)y * gh / h;
+        if (gy > gh - 1) gy = gh - 1;
+        const uint8_t *grow = grid + gy * gw;
+        uint8_t *row = roi + (long)y * row_stride;
+        for (int x = 0; x < w; ++x) {
+            const uint8_t lab = grow[gx_idx[x]];
+            uint8_t *px = row + 3 * x;
+            if (lab) {
+                const uint8_t *c = cmap + 3 * lab;
+                px[0] = blend_lut[((int)px[0] << 8) | c[0]];
+                px[1] = blend_lut[((int)px[1] << 8) | c[1]];
+                px[2] = blend_lut[((int)px[2] << 8) | c[2]];
+            } else {
+                px[0] = blend_lut[((int)px[0] << 8) | px[0]];
+                px[1] = blend_lut[((int)px[1] << 8) | px[1]];
+                px[2] = blend_lut[((int)px[2] << 8) | px[2]];
+            }
+        }
+    }
+}
+
 void resample_instance(
     const float *coarse, int kc,   /* (H, W, kc) */
     const float *fine,   int kf,   /* (H, W, kf) */

@@ -86,6 +86,10 @@ def run_video(predictor, visualizer, input_path: str, save_path: str,
     # fetch only the maps the overlay consumes (End2EndVisualizer.fetch_keys)
     # — unused maps then never cross the device->host link
     fetch = getattr(visualizer, "fetch_keys", lambda: None)()
+    # start D2H at dispatch time so the copy overlaps the next frame's
+    # compute instead of landing on the flush critical path (~RTT over the
+    # remote tunnel); numpy_outputs' own async starts are then no-ops
+    start_fetch = getattr(predictor, "start_fetch", lambda o, keys=None: None)
 
     def flush(frame, outputs):
         write_vis(visualizer.visualize(
@@ -122,7 +126,9 @@ def run_video(predictor, visualizer, input_path: str, save_path: str,
                     flush(frame, predictor(frame))
                     t_start = time.perf_counter()
                     continue
-                pending.append((frame, predictor(frame)))  # async dispatch
+                outs = predictor(frame)  # async dispatch
+                start_fetch(outs, keys=fetch)
+                pending.append((frame, outs))
                 if len(pending) > 1:
                     flush(*pending.pop(0))
                     t_frames += 1
@@ -154,6 +160,7 @@ def run_video(predictor, visualizer, input_path: str, save_path: str,
                     flush_group(padded, outs, count)
                     t_start = time.perf_counter()
                     continue
+                start_fetch(outs, keys=fetch)
                 pending.append((padded, outs, count))
                 if len(pending) > 1:
                     frames_, outs_, count_ = pending.pop(0)

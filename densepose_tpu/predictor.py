@@ -608,6 +608,22 @@ class DensePosePredictor:
         return exported.call
 
     @staticmethod
+    def start_fetch(outputs: Dict[str, jnp.ndarray], keys=None) -> None:
+        """Begin the device->host copies ``numpy_outputs`` will read, without
+        blocking. Call right after dispatching the NEXT frame so the
+        transfer of this one overlaps its compute — over the remote tunnel
+        the copy otherwise only starts at flush time and costs ~RTT on the
+        critical path. Idempotent with the async starts in
+        ``numpy_outputs``."""
+        if keys is not None:
+            keep = set(keys) | {"num_instances", "valid", "image_size",
+                                "pred_boxes", "scores", "pred_classes"}
+            outputs = {k: v for k, v in outputs.items() if k in keep}
+        for v in outputs.values():
+            if hasattr(v, "copy_to_host_async"):
+                v.copy_to_host_async()
+
+    @staticmethod
     def numpy_outputs(outputs: Dict[str, jnp.ndarray],
                       keys=None) -> Dict[str, np.ndarray]:
         """Trim padded slots and convert DensePose maps to the reference's

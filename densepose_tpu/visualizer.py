@@ -409,8 +409,54 @@ class End2EndVisualizer:
     def visualize(self, image_bgr: np.ndarray, outputs) -> np.ndarray:
         if self.mode == "bbox":
             return self.visualizer.visualize(image_bgr, outputs)
+        if self.mode == "fine_segm" and "pred_densepose_labels" in outputs:
+            out = self._visualize_labels_fused(image_bgr, outputs)
+            if out is not None:
+                return out
         data = self.extractor(outputs, need_uv=self.mode in ("u", "v"))
         return self.visualizer.visualize(image_bgr, data)
+
+    def _visualize_labels_fused(self, image_bgr: np.ndarray, outputs):
+        """Device-postprocess fine-segm fast path: per instance, ONE fused C
+        pass (nearest label-grid resample + colormap + blend, fastvis.c::
+        blend_labels_grid) — byte-identical to extractor + MatrixVisualizer
+        (tested), with no box-sized intermediates. Returns None (caller runs
+        the generic path) when the native lib is absent or any box's ROI
+        doesn't slice cleanly; the check runs before any pixel is touched."""
+        from .native import blend_labels_grid_native, get_lib
+        mv = self.visualizer.mask_visualizer
+        if get_lib() is None or not mv.inplace:
+            return None
+        img_h, img_w = image_bgr.shape[:2]
+        n = int(outputs.get("num_instances", len(outputs["pred_boxes"])))
+        boxes_xyxy = np.asarray(outputs["pred_boxes"])[:n]
+        rois = []
+        for i in range(n):
+            # same truncation chain as the extractor: XYWH floats, each
+            # int()-truncated separately (w = int(x2 - x1), NOT int(x2) -
+            # int(x1) — they differ on fractional boxes)
+            bx, by, bx2, by2 = [float(q) for q in boxes_xyxy[i]]
+            x, y = int(bx), int(by)
+            w, h = int(bx2 - bx), int(by2 - by)
+            if w <= 0 or h <= 0:
+                # MatrixVisualizer skips degenerate boxes before blending
+                rois.append(None)
+                continue
+            if (x < 0 or y < 0 or x + w > img_w or y + h > img_h
+                    or w > 4096):
+                return None  # clipped/odd box: generic path handles it
+            rois.append((y, x, h, w))
+        labels_all = np.asarray(outputs["pred_densepose_labels"])
+        if not self.visualizer.keep_bg:
+            mv.fill(image_bgr, 0)
+        for i, roi in enumerate(rois):
+            if roi is None:
+                continue
+            y, x, h, w = roi
+            blend_labels_grid_native(
+                image_bgr[y:y + h, x:x + w], labels_all[i],
+                mv._cmap_table, mv._blend_lut)
+        return image_bgr
 
     def fetch_keys(self):
         """The pred_densepose_* maps this overlay actually consumes — a

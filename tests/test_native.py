@@ -116,3 +116,44 @@ def test_native_blend_matches_numpy_chain():
     img_b[9:9 + h, 13:13 + w, :] = mv._blend_lut[roi, vis]
 
     np.testing.assert_array_equal(img_a, img_b)
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C compiler available")
+@pytest.mark.parametrize("keep_bg", [True, False])
+def test_blend_labels_grid_fused_byte_parity(keep_bg):
+    """The fused device-postprocess fine-segm path (blend_labels_grid) is
+    byte-identical to the unfused extractor + MatrixVisualizer chain, across
+    fractional boxes, a degenerate (w<1) box, a 1px box, and an
+    edge-touching box."""
+    pytest.importorskip("cv2")
+    from densepose_tpu.visualizer import End2EndVisualizer
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+    boxes = np.array([
+        [10.7, 20.3, 110.2, 180.9],   # fractional
+        [50.0, 5.0, 51.0, 200.0],     # 1px wide
+        [200.5, 100.5, 200.9, 140.0], # degenerate: int(w)=0 -> skipped
+        [250.0, 150.0, 320.0, 240.0], # touches right/bottom edge
+        [0.0, 0.0, 40.0, 40.0],       # touches origin
+    ], dtype=np.float32)
+    n = len(boxes)
+    grids = rng.randint(0, 25, size=(n, 112, 112)).astype(np.uint8)
+    outputs = {"num_instances": n, "pred_boxes": boxes,
+               "pred_densepose_labels": grids}
+
+    vis = End2EndVisualizer(alpha=0.7, keep_bg=keep_bg, mode="fine_segm")
+    a, b = img.copy(), img.copy()
+    fused = vis._visualize_labels_fused(a, outputs)
+    assert fused is not None, "fused path unexpectedly declined"
+    data = vis.extractor(outputs, need_uv=False)
+    ref = vis.visualizer.visualize(b, data)
+    np.testing.assert_array_equal(fused, ref)
+
+    # out-of-frame box -> fused path declines BEFORE touching any pixel
+    bad = dict(outputs)
+    bad["pred_boxes"] = np.array([[-5.0, 10.0, 50.0, 60.0]], np.float32)
+    bad["num_instances"] = 1
+    c = img.copy()
+    assert vis._visualize_labels_fused(c, bad) is None
+    np.testing.assert_array_equal(c, img)
