@@ -81,6 +81,14 @@ def _build() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int,
             u8p, u8p, ctypes.c_int, ctypes.c_int,
         ]
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.resample_blend_chw.restype = None
+        lib.resample_blend_chw.argtypes = [
+            fp, ctypes.c_int, fp, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, u8p,
+        ]
         return lib
     except Exception as e:  # no compiler / sandboxed FS: numpy fallback
         logger.info("native fastvis unavailable (%s); using numpy fallback", e)
@@ -191,6 +199,39 @@ def blend_labels_grid_native(
         grid.ctypes.data_as(u8p), gh, gw,
         cmap_bgr.ctypes.data_as(u8p), blend_lut.ctypes.data_as(u8p),
         roi.shape[0], roi.shape[1],
+    )
+    return True
+
+
+def resample_blend_chw_native(
+    coarse: np.ndarray, fine: np.ndarray, roi: np.ndarray,
+    cmap_bgr: np.ndarray, blend_lut: np.ndarray,
+) -> bool:
+    """Fused raw-maps fine-segm overlay for one instance: bilinear-resample
+    + argmax the (C, H, W) coarse/fine logit planes to the ROI size and
+    alpha-blend the colormapped label in place — byte-identical to
+    ``resample_instance_chw`` + ``blend_overlay`` (same C sample/argmax and
+    blend code) with no label/mask/matrix intermediates. Returns False when
+    the native lib is unavailable or the ROI layout is unsupported."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    if (roi.ndim != 3 or roi.shape[2] != 3 or roi.dtype != np.uint8
+            or roi.strides[2] != 1 or roi.strides[1] != 3):
+        return False
+    coarse = np.ascontiguousarray(coarse, dtype=np.float32)
+    fine = np.ascontiguousarray(fine, dtype=np.float32)
+    kc, in_h, in_w = coarse.shape
+    kf = fine.shape[0]
+    fp = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.resample_blend_chw(
+        coarse.ctypes.data_as(fp), kc,
+        fine.ctypes.data_as(fp), kf,
+        in_h, in_w,
+        roi.ctypes.data_as(u8p), roi.strides[0],
+        roi.shape[0], roi.shape[1],
+        cmap_bgr.ctypes.data_as(u8p), blend_lut.ctypes.data_as(u8p),
     )
     return True
 

@@ -154,6 +154,66 @@ void blend_overlay(
     }
 }
 
+/* Fully fused raw-maps fine-segm overlay: per output pixel, bilinear-sample
+ * the (kc, H, W) coarse and (kf, H, W) fine logit planes, argmax both, and
+ * blend the colormapped label into the ROI — one pass, no label/mask/matrix
+ * intermediates. The label math is byte-for-byte resample_instance_chw's
+ * (same blerp_chw/axis_coord code); the blend is blend_overlay's. */
+void resample_blend_chw(
+    const float *coarse, int kc,   /* (kc, H, W) */
+    const float *fine,   int kf,   /* (kf, H, W) */
+    int in_h, int in_w,
+    uint8_t *roi, int row_stride,  /* (h, w, 3) view into the image */
+    int h, int w,
+    const uint8_t *cmap,           /* (256, 3) BGR, val_scale folded */
+    const uint8_t *blend_lut       /* (256, 256) */
+) {
+    const float ry = (float)in_h / (float)h;
+    const float rx = (float)in_w / (float)w;
+    const int plane = in_h * in_w;
+
+    for (int oy = 0; oy < h; ++oy) {
+        int y0, y1; float wy;
+        axis_coord(oy, in_h, ry, &y0, &y1, &wy);
+        const int r0 = y0 * in_w, r1 = y1 * in_w;
+        uint8_t *row = roi + (long)oy * row_stride;
+        for (int ox = 0; ox < w; ++ox) {
+            int x0, x1; float wx;
+            axis_coord(ox, in_w, rx, &x0, &x1, &wx);
+            const int o00 = r0 + x0, o01 = r0 + x1;
+            const int o10 = r1 + x0, o11 = r1 + x1;
+
+            int best_c = 0; float best_cv = -1e30f;
+            for (int c = 0; c < kc; ++c) {
+                float val = blerp_chw(coarse + c * plane, in_w,
+                                      o00, o01, o10, o11, wx, wy);
+                if (val > best_cv) { best_cv = val; best_c = c; }
+            }
+            int label = 0;
+            if (best_c > 0) {
+                int best_f = 0; float best_fv = -1e30f;
+                for (int c = 0; c < kf; ++c) {
+                    float val = blerp_chw(fine + c * plane, in_w,
+                                          o00, o01, o10, o11, wx, wy);
+                    if (val > best_fv) { best_fv = val; best_f = c; }
+                }
+                label = best_f;
+            }
+            uint8_t *px = row + 3 * ox;
+            if (label) {
+                const uint8_t *c = cmap + 3 * label;
+                px[0] = blend_lut[((int)px[0] << 8) | c[0]];
+                px[1] = blend_lut[((int)px[1] << 8) | c[1]];
+                px[2] = blend_lut[((int)px[2] << 8) | c[2]];
+            } else {
+                px[0] = blend_lut[((int)px[0] << 8) | px[0]];
+                px[1] = blend_lut[((int)px[1] << 8) | px[1]];
+                px[2] = blend_lut[((int)px[2] << 8) | px[2]];
+            }
+        }
+    }
+}
+
 /* Fully fused device-postprocess fine-segm overlay: nearest-sample one
  * instance's uint8 label grid (TPU.DEVICE_POSTPROCESS output) to the box
  * size, colormap, and alpha-blend — one in-place pass with NO box-sized

@@ -409,7 +409,7 @@ class End2EndVisualizer:
     def visualize(self, image_bgr: np.ndarray, outputs) -> np.ndarray:
         if self.mode == "bbox":
             return self.visualizer.visualize(image_bgr, outputs)
-        if self.mode == "fine_segm" and "pred_densepose_labels" in outputs:
+        if self.mode == "fine_segm":
             out = self._visualize_labels_fused(image_bgr, outputs)
             if out is not None:
                 return out
@@ -417,18 +417,32 @@ class End2EndVisualizer:
         return self.visualizer.visualize(image_bgr, data)
 
     def _visualize_labels_fused(self, image_bgr: np.ndarray, outputs):
-        """Device-postprocess fine-segm fast path: per instance, ONE fused C
-        pass (nearest label-grid resample + colormap + blend, fastvis.c::
-        blend_labels_grid) — byte-identical to extractor + MatrixVisualizer
-        (tested), with no box-sized intermediates. Returns None (caller runs
-        the generic path) when the native lib is absent or any box's ROI
-        doesn't slice cleanly; the check runs before any pixel is touched."""
-        from .native import blend_labels_grid_native, get_lib
+        """Fine-segm fast path: per instance, ONE fused C pass — for
+        device-postprocess outputs a nearest label-grid resample + colormap +
+        blend (fastvis.c::blend_labels_grid); for raw SIUV maps a bilinear
+        resample + argmax + colormap + blend (::resample_blend_chw). Both are
+        byte-identical to extractor + MatrixVisualizer (tested), with no
+        box-sized intermediates. Returns None (caller runs the generic path)
+        when the native lib is absent, any box's ROI doesn't slice cleanly,
+        or a multi-core host would do better with the thread-pooled
+        extractor; the checks run before any pixel is touched."""
+        from .native import (blend_labels_grid_native, get_lib,
+                             resample_blend_chw_native)
         mv = self.visualizer.mask_visualizer
         if get_lib() is None or not mv.inplace:
             return None
+        device_pp = "pred_densepose_labels" in outputs
         img_h, img_w = image_bgr.shape[:2]
         n = int(outputs.get("num_instances", len(outputs["pred_boxes"])))
+        if not device_pp:
+            if ("pred_densepose_fine_segm" not in outputs
+                    or "pred_densepose_coarse_segm" not in outputs):
+                return None
+            if n > 4 and (os.cpu_count() or 1) > 1:
+                # crowded frame on a multi-core host: the unfused path
+                # parallelizes the (expensive) raw resample across instances;
+                # the fused blend must stay serial (overlapping boxes)
+                return None
         boxes_xyxy = np.asarray(outputs["pred_boxes"])[:n]
         rois = []
         for i in range(n):
@@ -446,16 +460,32 @@ class End2EndVisualizer:
                     or w > 4096):
                 return None  # clipped/odd box: generic path handles it
             rois.append((y, x, h, w))
-        labels_all = np.asarray(outputs["pred_densepose_labels"])
+        if device_pp:
+            labels_all = np.asarray(outputs["pred_densepose_labels"])
+        else:
+            # one whole-stack contiguation (NCHW views out of numpy_outputs)
+            # instead of a strided copy per instance
+            coarse_all = np.ascontiguousarray(
+                np.asarray(outputs["pred_densepose_coarse_segm"]),
+                dtype=np.float32)
+            fine_all = np.ascontiguousarray(
+                np.asarray(outputs["pred_densepose_fine_segm"]),
+                dtype=np.float32)
         if not self.visualizer.keep_bg:
             mv.fill(image_bgr, 0)
         for i, roi in enumerate(rois):
             if roi is None:
                 continue
             y, x, h, w = roi
-            blend_labels_grid_native(
-                image_bgr[y:y + h, x:x + w], labels_all[i],
-                mv._cmap_table, mv._blend_lut)
+            if device_pp:
+                blend_labels_grid_native(
+                    image_bgr[y:y + h, x:x + w], labels_all[i],
+                    mv._cmap_table, mv._blend_lut)
+            else:
+                resample_blend_chw_native(
+                    coarse_all[i], fine_all[i],
+                    image_bgr[y:y + h, x:x + w],
+                    mv._cmap_table, mv._blend_lut)
         return image_bgr
 
     def fetch_keys(self):

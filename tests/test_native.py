@@ -157,3 +157,37 @@ def test_blend_labels_grid_fused_byte_parity(keep_bg):
     c = img.copy()
     assert vis._visualize_labels_fused(c, bad) is None
     np.testing.assert_array_equal(c, img)
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C compiler available")
+@pytest.mark.parametrize("keep_bg", [True, False])
+def test_resample_blend_fused_byte_parity(keep_bg):
+    """The fused raw-maps fine-segm path (resample_blend_chw) is
+    byte-identical to the unfused resample_instance_chw + blend_overlay
+    chain driven through extractor + MatrixVisualizer."""
+    pytest.importorskip("cv2")
+    from densepose_tpu.visualizer import End2EndVisualizer
+
+    rng = np.random.RandomState(7)
+    img = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+    boxes = np.array([
+        [10.7, 20.3, 110.2, 180.9],
+        [50.0, 5.0, 51.0, 200.0],
+        [200.5, 100.5, 200.9, 140.0],  # degenerate -> skipped
+        [250.0, 150.0, 320.0, 240.0],
+    ], dtype=np.float32)
+    n = len(boxes)  # <= 4 so the fused path engages on any host
+    outputs = {
+        "num_instances": n,
+        "pred_boxes": boxes,
+        "pred_densepose_coarse_segm": rng.randn(n, 2, 112, 112).astype(np.float32),
+        "pred_densepose_fine_segm": rng.randn(n, 25, 112, 112).astype(np.float32),
+    }
+
+    vis = End2EndVisualizer(alpha=0.7, keep_bg=keep_bg, mode="fine_segm")
+    a, b = img.copy(), img.copy()
+    fused = vis._visualize_labels_fused(a, outputs)
+    assert fused is not None, "fused raw path unexpectedly declined"
+    data = vis.extractor(outputs, need_uv=False)
+    ref = vis.visualizer.visualize(b, data)
+    np.testing.assert_array_equal(fused, ref)
