@@ -89,6 +89,13 @@ def _build() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             u8p, u8p,
         ]
+        lib.resample_blend_uv_chw.restype = None
+        lib.resample_blend_uv_chw.argtypes = [
+            fp, ctypes.c_int, fp, ctypes.c_int, fp,
+            ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, u8p,
+        ]
         return lib
     except Exception as e:  # no compiler / sandboxed FS: numpy fallback
         logger.info("native fastvis unavailable (%s); using numpy fallback", e)
@@ -228,6 +235,40 @@ def resample_blend_chw_native(
     lib.resample_blend_chw(
         coarse.ctypes.data_as(fp), kc,
         fine.ctypes.data_as(fp), kf,
+        in_h, in_w,
+        roi.ctypes.data_as(u8p), roi.strides[0],
+        roi.shape[0], roi.shape[1],
+        cmap_bgr.ctypes.data_as(u8p), blend_lut.ctypes.data_as(u8p),
+    )
+    return True
+
+
+def resample_blend_uv_chw_native(
+    coarse: np.ndarray, fine: np.ndarray, uv_plane: np.ndarray,
+    roi: np.ndarray, cmap_bgr: np.ndarray, blend_lut: np.ndarray,
+) -> bool:
+    """Fused raw-maps U/V overlay for one instance: label argmax as
+    ``resample_blend_chw``, then sample only the requested (kf, H, W) U-or-V
+    plane at the winning label, map through clip(val*255) truncation, and
+    blend in place. Byte-identical to the unfused chain (same C sample code;
+    numpy's ``clip(uv*255).astype(uint8)`` reproduced exactly)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    if (roi.ndim != 3 or roi.shape[2] != 3 or roi.dtype != np.uint8
+            or roi.strides[2] != 1 or roi.strides[1] != 3):
+        return False
+    coarse = np.ascontiguousarray(coarse, dtype=np.float32)
+    fine = np.ascontiguousarray(fine, dtype=np.float32)
+    uv_plane = np.ascontiguousarray(uv_plane, dtype=np.float32)
+    kc, in_h, in_w = coarse.shape
+    kf = fine.shape[0]
+    fp = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.resample_blend_uv_chw(
+        coarse.ctypes.data_as(fp), kc,
+        fine.ctypes.data_as(fp), kf,
+        uv_plane.ctypes.data_as(fp),
         in_h, in_w,
         roi.ctypes.data_as(u8p), roi.strides[0],
         roi.shape[0], roi.shape[1],

@@ -214,6 +214,69 @@ void resample_blend_chw(
     }
 }
 
+/* Fused raw-maps U/V-channel overlay: same label math as resample_blend_chw,
+ * then sample ONLY the requested U-or-V plane at the winning label (the
+ * unfused chain resamples both U and V; the overlay consumes one), map
+ * through trunc(clip(val*255)) — numpy's clip+astype(uint8) — and blend. */
+void resample_blend_uv_chw(
+    const float *coarse, int kc,   /* (kc, H, W) */
+    const float *fine,   int kf,   /* (kf, H, W) */
+    const float *uv,               /* (kf, H, W): the U or V plane stack */
+    int in_h, int in_w,
+    uint8_t *roi, int row_stride,
+    int h, int w,
+    const uint8_t *cmap, const uint8_t *blend_lut
+) {
+    const float ry = (float)in_h / (float)h;
+    const float rx = (float)in_w / (float)w;
+    const int plane = in_h * in_w;
+
+    for (int oy = 0; oy < h; ++oy) {
+        int y0, y1; float wy;
+        axis_coord(oy, in_h, ry, &y0, &y1, &wy);
+        const int r0 = y0 * in_w, r1 = y1 * in_w;
+        uint8_t *row = roi + (long)oy * row_stride;
+        for (int ox = 0; ox < w; ++ox) {
+            int x0, x1; float wx;
+            axis_coord(ox, in_w, rx, &x0, &x1, &wx);
+            const int o00 = r0 + x0, o01 = r0 + x1;
+            const int o10 = r1 + x0, o11 = r1 + x1;
+
+            int best_c = 0; float best_cv = -1e30f;
+            for (int c = 0; c < kc; ++c) {
+                float val = blerp_chw(coarse + c * plane, in_w,
+                                      o00, o01, o10, o11, wx, wy);
+                if (val > best_cv) { best_cv = val; best_c = c; }
+            }
+            int label = 0;
+            if (best_c > 0) {
+                int best_f = 0; float best_fv = -1e30f;
+                for (int c = 0; c < kf; ++c) {
+                    float val = blerp_chw(fine + c * plane, in_w,
+                                          o00, o01, o10, o11, wx, wy);
+                    if (val > best_fv) { best_fv = val; best_f = c; }
+                }
+                label = best_f;
+            }
+            uint8_t *px = row + 3 * ox;
+            if (label) {
+                float m = blerp_chw(uv + label * plane, in_w,
+                                    o00, o01, o10, o11, wx, wy) * 255.0f;
+                if (m < 0.0f) m = 0.0f;
+                if (m > 255.0f) m = 255.0f;
+                const uint8_t *c = cmap + 3 * (uint8_t)m;
+                px[0] = blend_lut[((int)px[0] << 8) | c[0]];
+                px[1] = blend_lut[((int)px[1] << 8) | c[1]];
+                px[2] = blend_lut[((int)px[2] << 8) | c[2]];
+            } else {
+                px[0] = blend_lut[((int)px[0] << 8) | px[0]];
+                px[1] = blend_lut[((int)px[1] << 8) | px[1]];
+                px[2] = blend_lut[((int)px[2] << 8) | px[2]];
+            }
+        }
+    }
+}
+
 /* Fully fused device-postprocess fine-segm overlay: nearest-sample one
  * instance's uint8 label grid (TPU.DEVICE_POSTPROCESS output) to the box
  * size, colormap, and alpha-blend — one in-place pass with NO box-sized

@@ -409,7 +409,7 @@ class End2EndVisualizer:
     def visualize(self, image_bgr: np.ndarray, outputs) -> np.ndarray:
         if self.mode == "bbox":
             return self.visualizer.visualize(image_bgr, outputs)
-        if self.mode == "fine_segm":
+        if self.mode in ("fine_segm", "u", "v"):
             out = self._visualize_labels_fused(image_bgr, outputs)
             if out is not None:
                 return out
@@ -427,16 +427,23 @@ class End2EndVisualizer:
         or a multi-core host would do better with the thread-pooled
         extractor; the checks run before any pixel is touched."""
         from .native import (blend_labels_grid_native, get_lib,
-                             resample_blend_chw_native)
+                             resample_blend_chw_native,
+                             resample_blend_uv_chw_native)
         mv = self.visualizer.mask_visualizer
         if get_lib() is None or not mv.inplace:
             return None
         device_pp = "pred_densepose_labels" in outputs
+        uv_key = {"u": "pred_densepose_u", "v": "pred_densepose_v"}.get(
+            self.mode)
         img_h, img_w = image_bgr.shape[:2]
         n = int(outputs.get("num_instances", len(outputs["pred_boxes"])))
-        if not device_pp:
+        if device_pp:
+            if uv_key is not None:
+                return None  # device-pp u/v: numpy-resized grid, generic path
+        else:
             if ("pred_densepose_fine_segm" not in outputs
-                    or "pred_densepose_coarse_segm" not in outputs):
+                    or "pred_densepose_coarse_segm" not in outputs
+                    or (uv_key is not None and uv_key not in outputs)):
                 return None
             if n > 4 and (os.cpu_count() or 1) > 1:
                 # crowded frame on a multi-core host: the unfused path
@@ -471,6 +478,9 @@ class End2EndVisualizer:
             fine_all = np.ascontiguousarray(
                 np.asarray(outputs["pred_densepose_fine_segm"]),
                 dtype=np.float32)
+            uv_all = (np.ascontiguousarray(np.asarray(outputs[uv_key]),
+                                           dtype=np.float32)
+                      if uv_key is not None else None)
         if not self.visualizer.keep_bg:
             mv.fill(image_bgr, 0)
         for i, roi in enumerate(rois):
@@ -480,6 +490,11 @@ class End2EndVisualizer:
             if device_pp:
                 blend_labels_grid_native(
                     image_bgr[y:y + h, x:x + w], labels_all[i],
+                    mv._cmap_table, mv._blend_lut)
+            elif uv_key is not None:
+                resample_blend_uv_chw_native(
+                    coarse_all[i], fine_all[i], uv_all[i],
+                    image_bgr[y:y + h, x:x + w],
                     mv._cmap_table, mv._blend_lut)
             else:
                 resample_blend_chw_native(

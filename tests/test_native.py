@@ -191,3 +191,40 @@ def test_resample_blend_fused_byte_parity(keep_bg):
     data = vis.extractor(outputs, need_uv=False)
     ref = vis.visualizer.visualize(b, data)
     np.testing.assert_array_equal(fused, ref)
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C compiler available")
+@pytest.mark.parametrize("mode", ["u", "v"])
+def test_resample_blend_uv_fused_byte_parity(mode):
+    """The fused raw-maps U/V overlay path is byte-identical to the unfused
+    extractor(need_uv) + DensePoseResultsU/VVisualizer chain."""
+    pytest.importorskip("cv2")
+    from densepose_tpu.visualizer import End2EndVisualizer
+
+    rng = np.random.RandomState(13)
+    img = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+    boxes = np.array([
+        [10.7, 20.3, 110.2, 180.9],
+        [150.0, 30.0, 310.0, 230.0],
+        [0.0, 0.0, 40.0, 40.0],
+    ], dtype=np.float32)
+    n = len(boxes)
+    outputs = {
+        "num_instances": n,
+        "pred_boxes": boxes,
+        "pred_densepose_coarse_segm": rng.randn(n, 2, 112, 112).astype(np.float32),
+        "pred_densepose_fine_segm": rng.randn(n, 25, 112, 112).astype(np.float32),
+        # a little out-of-range to exercise the clip
+        "pred_densepose_u": (rng.rand(n, 25, 112, 112).astype(np.float32)
+                             * 1.2 - 0.1),
+        "pred_densepose_v": (rng.rand(n, 25, 112, 112).astype(np.float32)
+                             * 1.2 - 0.1),
+    }
+
+    vis = End2EndVisualizer(alpha=0.7, keep_bg=True, mode=mode)
+    a, b = img.copy(), img.copy()
+    fused = vis._visualize_labels_fused(a, outputs)
+    assert fused is not None, "fused uv path unexpectedly declined"
+    data = vis.extractor(outputs, need_uv=True)
+    ref = vis.visualizer.visualize(b, data)
+    np.testing.assert_array_equal(fused, ref)
