@@ -183,7 +183,31 @@ class GeneralizedRCNN:
             "valid": valid,
             "num_instances": valid.sum().astype(jnp.int32),
         }
+        result["det_packed"] = self.pack_detections(result)
         return result, features, boxes_net
+
+    @staticmethod
+    def pack_detections(result: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """One (D+1, 7) f32 array carrying every small detection output, so
+        a streaming consumer fetches ONE array instead of six — on a
+        remote-tunnel link each device->host fetch costs ~an RTT, which
+        dominates the serving video loop. Rows 0..D-1:
+        [x1, y1, x2, y2, score, class, valid]; final row:
+        [num_instances, H, W, 0, 0, 0, 0]. Every value is exactly
+        representable in f32 (boxes/scores already are; classes, sizes and
+        counts are small ints), so ``predictor.numpy_outputs``'s unpack is
+        bit-exact vs fetching the individual arrays (tested)."""
+        packed = jnp.concatenate([
+            result["pred_boxes"].astype(jnp.float32),
+            result["scores"].astype(jnp.float32)[:, None],
+            result["pred_classes"].astype(jnp.float32)[:, None],
+            result["valid"].astype(jnp.float32)[:, None],
+        ], axis=1)
+        header = jnp.concatenate([
+            result["num_instances"].astype(jnp.float32)[None],
+            result["image_size"].astype(jnp.float32),
+            jnp.zeros((4,), jnp.float32)])
+        return jnp.concatenate([packed, header[None]], axis=0)
 
     def forward_densepose(self, params: Dict, features: Dict,
                           boxes_net: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -279,6 +303,7 @@ class GeneralizedRCNN:
             "valid": valid,
             "num_instances": valid.sum().astype(jnp.int32),
         }
+        result["det_packed"] = self.pack_detections(result)
         if cfg.MODEL.DENSEPOSE_ON:
             if switched_densepose:
                 dp = self.forward_densepose_switched(

@@ -57,7 +57,14 @@ def run_video(predictor, visualizer, input_path: str, save_path: str,
     n_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     fps = cap.get(cv2.CAP_PROP_FPS) or 30
 
-    frame_q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=4 * batch)
+    frame_q: "queue.Queue" = queue.Queue(maxsize=4 * batch)
+
+    # serial mode: the reader thread also uploads each decoded frame to the
+    # device (predictor.stage_input) so the H2D transfer overlaps the main
+    # thread's fetch/overlay/encode of earlier frames — on a remote-tunnel
+    # link the upload is the largest per-frame leg. Batched mode stacks raw
+    # frames on the host instead.
+    stage = getattr(predictor, "stage_input", None) if batch == 1 else None
 
     def reader():
         while True:
@@ -65,7 +72,8 @@ def run_video(predictor, visualizer, input_path: str, save_path: str,
             if not ret:
                 frame_q.put(None)
                 return
-            frame_q.put(frame)
+            frame_q.put((frame, stage(frame)) if stage is not None
+                        else (frame, frame))
 
     t = threading.Thread(target=reader, daemon=True)
     t.start()
@@ -100,9 +108,13 @@ def run_video(predictor, visualizer, input_path: str, save_path: str,
         # device-array slicing would dispatch eager ops — seconds each over
         # a remote tunnel), then split into per-frame dicts on the host;
         # padded tail rows are dropped.
-        keep = (None if fetch is None else
-                set(fetch) | {"num_instances", "valid", "image_size",
-                              "pred_boxes", "scores", "pred_classes"})
+        if fetch is None:
+            keep = None
+        elif "det_packed" in outputs:
+            keep = set(fetch) | {"det_packed"}
+        else:
+            keep = set(fetch) | {"num_instances", "valid", "image_size",
+                                 "pred_boxes", "scores", "pred_classes"}
         wanted = {k: v for k, v in outputs.items()
                   if keep is None or k in keep}
         for v in wanted.values():
@@ -118,15 +130,16 @@ def run_video(predictor, visualizer, input_path: str, save_path: str,
         if batch == 1:
             pending = []  # (frame, outputs) — drain one behind to overlap D2H
             while True:
-                frame = frame_q.get()
-                if frame is None:
+                item = frame_q.get()
+                if item is None:
                     break
+                frame, staged = item
                 if t_start is None:
                     # exclude the first frame's compile from the fps figure
-                    flush(frame, predictor(frame))
+                    flush(frame, predictor(staged))
                     t_start = time.perf_counter()
                     continue
-                outs = predictor(frame)  # async dispatch
+                outs = predictor(staged)  # async dispatch
                 start_fetch(outs, keys=fetch)
                 pending.append((frame, outs))
                 if len(pending) > 1:
@@ -141,11 +154,11 @@ def run_video(predictor, visualizer, input_path: str, save_path: str,
             eof = False
             while not eof or group:
                 if not eof:
-                    frame = frame_q.get()
-                    if frame is None:
+                    item = frame_q.get()
+                    if item is None:
                         eof = True
                     else:
-                        group.append(frame)
+                        group.append(item[0])
                         if len(group) < batch:
                             continue
                 if not group:
