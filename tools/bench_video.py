@@ -138,6 +138,31 @@ def main():
     host_outputs = [pred.numpy_outputs(o) for o in host_outputs]  # fetch all
     predict_s = (time.perf_counter() - t0) / k
 
+    # ---- pure device forward (bench.py protocol: pre-staged frames, one
+    # aggregated checksum fetch) — separates chip time from link time ----
+    import jax
+    import jax.numpy as jnp
+    fn = pred._get_fn(frames[0].shape[:2])
+
+    @jax.jit
+    def step(p, img):
+        out = fn(p, img)
+        tot = jnp.float32(0)
+        for key in sorted(out):
+            tot += jnp.sum(out[key].astype(jnp.float32))
+        return tot
+
+    staged = [jax.device_put(f) for f in frames[:16]]
+    jax.block_until_ready(staged)
+    _ = np.asarray(step(pred.params, staged[0]))
+    dev_passes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sums = [step(pred.params, f) for f in staged]
+        _ = np.asarray(jnp.sum(jnp.stack(sums)))
+        dev_passes.append(time.perf_counter() - t0)
+    device_ms = min(dev_passes) / len(staged) * 1e3
+
     # ---- host stage split on real outputs ----
     t0 = time.perf_counter()
     vis_frames = [visualizer.visualize(frames[i].copy(), host_outputs[i])
@@ -162,6 +187,12 @@ def main():
     wall_s = time.perf_counter() - t0
     wall_fps = n / wall_s if wall_s > 0 else 0.0
 
+    # what a co-located host (PCIe link: sub-ms transfers for these sizes)
+    # would sustain with the same overlapped pipeline: the slower of the
+    # device forward and the serial host stages
+    host_ms = (decode_s / n + visualize_s + encode_s) * 1e3
+    projected = 1e3 / max(host_ms, device_ms)
+
     result = {
         "metric": "video_wall_clock_fps",
         "value": round(wall_fps, 2),
@@ -175,6 +206,8 @@ def main():
             "visualize": round(visualize_s * 1e3, 2),
             "encode": round(encode_s * 1e3, 2),
         },
+        "device_forward_ms": round(device_ms, 2),
+        "projected_colocated_fps": round(projected, 2),
         "detections_first_frame": int(outs0["num_instances"]),
     }
     print(json.dumps(result))
