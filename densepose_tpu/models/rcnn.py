@@ -454,3 +454,22 @@ class GeneralizedRCNN:
                       switched_densepose=switched_densepose,
                       device_postprocess=device_postprocess)
         return jax.jit(fwd)
+
+
+def sem_seg_postprocess(result: jnp.ndarray, img_size, output_height: int,
+                        output_width: int) -> jnp.ndarray:
+    """Twin of the reference's semantic-segmentation postprocess
+    (detectron2/modeling/postprocessing.py:64-87): crop the padded logit
+    map to the valid (pre-padding) region, then bilinear-resize
+    (align_corners=False) to the original image resolution. Vestigial —
+    no DensePose config builds a semantic segmentor — kept so every
+    reference component has a functional twin.
+
+    ``result`` is channel-last (H, W, C) in this framework (the reference
+    takes (C, H, W)); ``img_size`` is (h, w) of the un-padded input.
+    Shapes are static python ints, so the crop and resize trace cleanly
+    under jit.
+    """
+    from ..ops import resize_bilinear
+    result = result[: img_size[0], : img_size[1], :]
+    return resize_bilinear(result, (int(output_height), int(output_width)))

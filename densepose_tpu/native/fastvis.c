@@ -262,7 +262,10 @@ void resample_blend_uv_chw(
             if (label) {
                 float m = blerp_chw(uv + label * plane, in_w,
                                     o00, o01, o10, o11, wx, wy) * 255.0f;
-                if (m < 0.0f) m = 0.0f;
+                /* NaN compares false against BOTH clip bounds and would
+                 * reach the (uint8_t) cast, which is UB in C; map any
+                 * non-finite sample deterministically to 0 instead. */
+                if (!(m >= 0.0f)) m = 0.0f;
                 if (m > 255.0f) m = 255.0f;
                 const uint8_t *c = cmap + 3 * (uint8_t)m;
                 px[0] = blend_lut[((int)px[0] << 8) | c[0]];

@@ -9,7 +9,8 @@ from .conv import (  # noqa: F401
     max_pool2d,
     linear,
 )
-from .norms import frozen_batch_norm, group_norm, fold_frozen_bn  # noqa: F401
+from .norms import (frozen_batch_norm, group_norm, fold_frozen_bn,  # noqa: F401
+                    cycle_batch_norm)  # noqa: F401
 from .boxes import (  # noqa: F401
     clip_boxes_wh_swapped,
     clip_boxes,

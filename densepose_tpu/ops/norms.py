@@ -123,3 +123,37 @@ def group_norm(
     xf = xf.reshape(*lead, h, w, c)
     y = xf * weight.astype(jnp.float32) + bias.astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def cycle_batch_norm(
+    x: jnp.ndarray,
+    running_means: jnp.ndarray,
+    running_vars: jnp.ndarray,
+    weight,
+    bias,
+    pos,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Functional twin of detectron2's ``CycleBatchNormList``
+    (detectron2/layers/batch_norm.py:193-238) at inference.
+
+    The reference keeps N affine-free BatchNorms (one per input domain),
+    cycles an internal ``_pos`` counter every forward, and applies ONE
+    shared affine after whichever BN fired. No shipped config reaches it
+    (vestigial), but the twin exists so every reference component has one.
+    Functional JAX has no module state, so the domain index is an explicit
+    ``pos`` argument — a caller reproducing the reference's cycling threads
+    ``pos = call_count % N``; at inference a single call is exactly the
+    reference's first-call behaviour (pos=0, i.e. "inference == its first
+    BN" when never cycled).
+
+    running_means / running_vars: (N, C) per-domain eval statistics;
+    weight / bias: shared (C,) affine, or ``None`` for affine=False.
+    ``pos`` may be a python int or a traced scalar.
+    """
+    mean = jnp.take(running_means, pos, axis=0).astype(jnp.float32)
+    var = jnp.take(running_vars, pos, axis=0).astype(jnp.float32)
+    y = (x.astype(jnp.float32) - mean) / jnp.sqrt(var + eps)
+    if weight is not None:
+        y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)

@@ -18,10 +18,13 @@ the reference's extractor consumes its (N, C, H, W) tensors).
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Dict, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 try:
     import cv2
@@ -435,6 +438,18 @@ class End2EndVisualizer:
         device_pp = "pred_densepose_labels" in outputs
         uv_key = {"u": "pred_densepose_u", "v": "pred_densepose_v"}.get(
             self.mode)
+        # The native blends decline (return False) on any ROI whose dtype or
+        # innermost strides they don't support. Every ROI here is a plain
+        # slice of image_bgr, so checking the full image ONCE before any
+        # pixel is touched guarantees no mid-frame decline — otherwise a
+        # non-uint8 or channel-strided image (a flipped view, an RGBA
+        # slice) would pass the geometry checks, every native call would
+        # silently no-op, and with keep_bg=False the frame would come back
+        # blank.
+        if (image_bgr.ndim != 3 or image_bgr.shape[2] != 3
+                or image_bgr.dtype != np.uint8
+                or image_bgr.strides[2] != 1 or image_bgr.strides[1] != 3):
+            return None
         img_h, img_w = image_bgr.shape[:2]
         n = int(outputs.get("num_instances", len(outputs["pred_boxes"])))
         if device_pp:
@@ -455,10 +470,14 @@ class End2EndVisualizer:
         for i in range(n):
             # same truncation chain as the extractor: XYWH floats, each
             # int()-truncated separately (w = int(x2 - x1), NOT int(x2) -
-            # int(x1) — they differ on fractional boxes)
-            bx, by, bx2, by2 = [float(q) for q in boxes_xyxy[i]]
+            # int(x1) — they differ on fractional boxes). The subtraction
+            # must run in float32 like the extractor's boxes_xywh in-place
+            # f32 arithmetic: within half an f32 ulp below an integer, f32
+            # rounds up across the boundary where f64 would truncate low,
+            # and the two paths would disagree by 1 px.
+            bx, by, bx2, by2 = [np.float32(q) for q in boxes_xyxy[i]]
             x, y = int(bx), int(by)
-            w, h = int(bx2 - bx), int(by2 - by)
+            w, h = int(np.float32(bx2 - bx)), int(np.float32(by2 - by))
             if w <= 0 or h <= 0:
                 # MatrixVisualizer skips degenerate boxes before blending
                 rois.append(None)
@@ -488,19 +507,25 @@ class End2EndVisualizer:
                 continue
             y, x, h, w = roi
             if device_pp:
-                blend_labels_grid_native(
+                ok = blend_labels_grid_native(
                     image_bgr[y:y + h, x:x + w], labels_all[i],
                     mv._cmap_table, mv._blend_lut)
             elif uv_key is not None:
-                resample_blend_uv_chw_native(
+                ok = resample_blend_uv_chw_native(
                     coarse_all[i], fine_all[i], uv_all[i],
                     image_bgr[y:y + h, x:x + w],
                     mv._cmap_table, mv._blend_lut)
             else:
-                resample_blend_chw_native(
+                ok = resample_blend_chw_native(
                     coarse_all[i], fine_all[i],
                     image_bgr[y:y + h, x:x + w],
                     mv._cmap_table, mv._blend_lut)
+            if not ok:
+                # unreachable after the whole-image layout pre-check above;
+                # surface it rather than return a frame missing overlays
+                logger.warning(
+                    "native blend declined instance %d despite layout "
+                    "pre-checks; overlay for this instance is missing", i)
         return image_bgr
 
     def fetch_keys(self):
