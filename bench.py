@@ -118,11 +118,17 @@ def measure_fps(pred, frames, aux_frames, iters, calibrate=False,
     fn = pred._get_fn((720, 1280))
 
     # checksum touching every output -> nothing can be dead-code'd or
-    # left unfinished; one dispatch per frame (forward+checksum fused)
+    # left unfinished; one dispatch per frame (forward+checksum fused).
+    # The running total is threaded through the jitted step as a carry, so
+    # a pass ends with ONE scalar fetch (np.asarray of the last carry) and
+    # NO eager reduction ops — the previous jnp.stack+jnp.sum tail cost ~3
+    # tunnel RTTs (~100 ms) per pass, a pure harness tax that inflated
+    # every frame figure (~2.3 ms at iters=48, ~7 ms at the sweep's old
+    # iters=16; docs/ARCHITECTURE.md r4 notes).
     @jax.jit
-    def step(params, img):
+    def step(params, img, carry):
         out = fn(params, img)
-        total = jnp.float32(0)
+        total = carry
         for k in sorted(out):
             total += jnp.sum(out[k].astype(jnp.float32))
         return total
@@ -132,17 +138,23 @@ def measure_fps(pred, frames, aux_frames, iters, calibrate=False,
         # any int8 graph compiles — the serving flow
         pred.calibrate_int8(aux_frames[:2])
 
-    # warmup: compile forward + checksum, then one true sync
-    _ = np.asarray(step(pred.params, jnp.asarray(aux_frames[0])))
+    zero = jax.device_put(np.float32(0))
+    jax.block_until_ready(zero)
 
-    # throughput: dispatch every staged frame, then force completion of all
-    # of them through one aggregated scalar fetch. Best of N passes: the
-    # remote runtime shows occasional multi-ms jitter on single passes.
+    # warmup: compile forward + checksum, then one true sync
+    _ = np.asarray(step(pred.params, jnp.asarray(aux_frames[0]), zero))
+
+    # throughput: dispatch every staged frame (the carry chains them), then
+    # force completion of all of them through the single final-carry fetch.
+    # Best of N passes: the remote runtime shows occasional multi-ms jitter
+    # on single passes.
     passes = []
     for _ in range(n_passes):
         t0 = time.perf_counter()
-        sums = [step(pred.params, f) for f in frames]
-        total = np.asarray(jnp.sum(jnp.stack(sums)))
+        total = zero
+        for f in frames:
+            total = step(pred.params, f, total)
+        total = np.asarray(total)
         passes.append(time.perf_counter() - t0)
         assert np.isfinite(total), "non-finite checksum: outputs corrupt"
 
@@ -154,7 +166,7 @@ def measure_fps(pred, frames, aux_frames, iters, calibrate=False,
     lat = []
     for f in aux_frames[1:]:
         t0 = time.perf_counter()
-        _ = np.asarray(step(pred.params, jnp.asarray(f)))
+        _ = np.asarray(step(pred.params, jnp.asarray(f), zero))
         lat.append(time.perf_counter() - t0)
     p50_e2e = sorted(lat)[len(lat) // 2]
     return iters / min(passes), passes, p50_e2e
@@ -170,23 +182,27 @@ def measure_sparse_fps(pred, frames, aux_frames, iters):
     m = pred.model
 
     @jax.jit
-    def fsp(p, img):
+    def fsp(p, img, carry):
         result, features, boxes_net = m.forward_stage1(
             p, img, compute_dtype=pred.compute_dtype)
         dp = m.forward_densepose(p, features, boxes_net[:8])
         out = dict(result)
         out.update(dp)
-        total = jnp.float32(0)
+        total = carry
         for k in sorted(out):
             total += jnp.sum(out[k].astype(jnp.float32))
         return total
 
-    _ = np.asarray(fsp(pred.params, jnp.asarray(aux_frames[0])))
+    zero = jax.device_put(np.float32(0))
+    jax.block_until_ready(zero)
+    _ = np.asarray(fsp(pred.params, jnp.asarray(aux_frames[0]), zero))
     sp_passes = []
     for _ in range(3):
         t0 = time.perf_counter()
-        sums = [fsp(pred.params, f) for f in frames]
-        _ = np.asarray(jnp.sum(jnp.stack(sums)))
+        total = zero
+        for f in frames:
+            total = fsp(pred.params, f, total)
+        _ = np.asarray(total)
         sp_passes.append(time.perf_counter() - t0)
     return iters / min(sp_passes)
 

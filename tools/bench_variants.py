@@ -2,12 +2,17 @@
 """Per-variant throughput table (VERDICT r1 #9): one fps figure for each
 major model family so regressions off the flagship stay visible.
 
-Follows bench.py's measurement protocol (distinct pre-staged frames, forced
-completion through an output-dependent checksum, best-of-N passes) at
-reduced iteration counts — figures are coarser than bench.py's headline but
-comparable run to run.
+Follows bench.py's measurement protocol EXACTLY (distinct pre-staged
+frames, completion forced through a carry-chained checksum fetched ONCE per
+pass, best-of-N passes, same iteration count) — since r5 the rows are
+absolute figures directly comparable to bench.py's headline, not just to
+each other. (The r4 sweep carried a fixed ~110 ms/pass eager-reduction tail
+— ~3 tunnel RTTs — that inflated every row ~7 ms/frame at its old
+iters=16; the carry protocol removes the tail and iters now matches
+bench.py's 48.)
 
-    python tools/bench_variants.py [--mode exact|serving|max] [variant ...]
+    python tools/bench_variants.py [--mode exact|serving|max] [--sparse]
+                                   [variant ...]
 
 Modes (mirror bench.py's three figures):
   exact    bf16, no quantization (the default; reference-exact numerics)
@@ -16,7 +21,11 @@ Modes (mirror bench.py's three figures):
   max      + INT8_BACKBONE + INT8_RPN where the variant supports them
            (resnet-FPN backbones only; changes detections; opt-in)
 
-Prints one line per variant: name, worst-case fps, ms/frame.
+--sparse adds a column measuring the <=8-detection lax.switch branch (the
+figure real, non-crowded video runs at) per variant — one extra graph
+compile per row.
+
+Prints one line per variant: name, worst-case fps, ms/frame (+ sparse fps).
 """
 
 import os
@@ -37,8 +46,39 @@ DEFAULT_VARIANTS = [
 ]
 
 
-def bench_variant(name: str, iters: int = 16, passes: int = 3,
-                  mode: str = "exact") -> dict:
+def _checksum_terms(out, carry):
+    """carry + sum over every output element; nan_to_num because random
+    init at bf16 can overflow deep variants (HRNet) — timing is the point
+    here, not the values."""
+    import jax.numpy as jnp
+
+    total = carry
+    for k in sorted(out):
+        v = jnp.nan_to_num(out[k].astype(jnp.float32),
+                           nan=1.0, posinf=1.0, neginf=-1.0)
+        total += jnp.sum(v)
+    return total
+
+
+def _timed_passes(step, params, frames, zero, passes):
+    """bench.py's pass protocol: dispatch every staged frame with the
+    checksum carried through the jitted step, ONE final scalar fetch."""
+    import numpy as np
+
+    times = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        total = zero
+        for f in frames:
+            total = step(params, f, total)
+        total = np.asarray(total)
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(total)
+    return times
+
+
+def bench_variant(name: str, iters: int = 48, passes: int = 3,
+                  mode: str = "exact", sparse: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -68,53 +108,71 @@ def bench_variant(name: str, iters: int = 16, passes: int = 3,
             [(rng0.rand(720, 1280, 3) * 255).astype(np.uint8)])
     fn = pred._get_fn((720, 1280))
 
-    def checksum(out):
-        # data-depends on every output element; nan_to_num because random
-        # init at bf16 can overflow deep variants (HRNet) — timing is the
-        # point here, not the values
-        total = jnp.float32(0)
-        for k in sorted(out):
-            v = jnp.nan_to_num(out[k].astype(jnp.float32),
-                               nan=1.0, posinf=1.0, neginf=-1.0)
-            total += jnp.sum(v)
-        return total
-
-    step = jax.jit(lambda p, img: checksum(fn(p, img)))
+    step = jax.jit(lambda p, img, carry: _checksum_terms(fn(p, img), carry))
 
     rng = np.random.RandomState(0)
     warm = (rng.rand(720, 1280, 3) * 255).astype(np.uint8)
     frames = [jax.device_put((rng.rand(720, 1280, 3) * 255).astype(np.uint8))
               for _ in range(iters)]
+    zero = jax.device_put(np.float32(0))
     jax.block_until_ready(frames)
-    _ = np.asarray(step(pred.params, jnp.asarray(warm)))  # compile + sync
+    jax.block_until_ready(zero)
+    _ = np.asarray(step(pred.params, jnp.asarray(warm), zero))  # compile+sync
 
-    times = []
-    for _ in range(passes):
-        t0 = time.perf_counter()
-        sums = [step(pred.params, f) for f in frames]
-        total = np.asarray(jnp.sum(jnp.stack(sums)))
-        times.append(time.perf_counter() - t0)
-        assert np.isfinite(total)
+    times = _timed_passes(step, pred.params, frames, zero, passes)
     best = min(times)
-    return {"fps": iters / best, "ms": best / iters * 1e3,
-            "passes_s": [round(t, 3) for t in times]}
+    r = {"fps": iters / best, "ms": best / iters * 1e3,
+         "passes_s": [round(t, 3) for t in times]}
+
+    if sparse:
+        m = pred.model
+
+        def fsp(p, img, carry):
+            result, features, boxes_net = m.forward_stage1(
+                p, img, compute_dtype=pred.compute_dtype)
+            dp = m.forward_densepose(p, features, boxes_net[:8])
+            out = dict(result)
+            out.update(dp)
+            return _checksum_terms(out, carry)
+
+        fsp = jax.jit(fsp)
+        try:
+            _ = np.asarray(fsp(pred.params, jnp.asarray(warm), zero))
+            sp = _timed_passes(fsp, pred.params, frames, zero, passes)
+            r["sparse_fps"] = iters / min(sp)
+        except Exception as e:  # a family without the sparse branch
+            r["sparse_err"] = f"{type(e).__name__}: {e}"
+    return r
 
 
 def main():
     args = sys.argv[1:]
     mode = "exact"
+    sparse = False
+    if "--sparse" in args:
+        sparse = True
+        args.remove("--sparse")
     if args and args[0] == "--mode":
         mode = args[1]
         assert mode in ("exact", "serving", "max"), mode
         args = args[2:]
     variants = args or DEFAULT_VARIANTS
-    print(f"mode={mode}")
-    print(f"{'variant':45s} {'fps':>7s} {'ms/frame':>9s}")
+    print(f"mode={mode} iters=48 (bench.py protocol, absolute figures)")
+    hdr = f"{'variant':45s} {'fps':>7s} {'ms/frame':>9s}"
+    if sparse:
+        hdr += f" {'sparse_fps':>10s}"
+    print(hdr)
     for name in variants:
         try:
-            r = bench_variant(name, mode=mode)
-            print(f"{name:45s} {r['fps']:7.2f} {r['ms']:9.1f}   "
-                  f"passes={r['passes_s']}")
+            r = bench_variant(name, mode=mode, sparse=sparse)
+            line = f"{name:45s} {r['fps']:7.2f} {r['ms']:9.1f}"
+            if sparse:
+                if "sparse_fps" in r:
+                    line += f" {r['sparse_fps']:10.2f}"
+                else:
+                    line += f"   sparse: {r.get('sparse_err', '-')}"
+            line += f"   passes={r['passes_s']}"
+            print(line)
         except Exception as e:  # keep the table going past one bad variant
             print(f"{name:45s} FAILED: {type(e).__name__}: {e}")
         sys.stdout.flush()
