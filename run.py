@@ -24,9 +24,49 @@ import numpy as np  # noqa: E402
 IMAGE_EXTS = [".jpg", ".png", ".jpeg", ".bmp", ".tif", ".tiff"]
 
 
-def load_predictor(model_path: str, weights: str, fp32: bool, opts):
+def _scan_dir_sizes(dirpath: str, limit: int = 16):
+    """Decoded (h, w) of up to ``limit`` images in ``dirpath`` — the
+    auto-bucketing probe for mixed-size directories."""
+    import cv2
+    sizes = set()
+    names = sorted(
+        f for f in os.listdir(dirpath)
+        if os.path.splitext(f)[1].lower() in IMAGE_EXTS
+        and not os.path.splitext(f)[0].endswith("_pred"))
+    for name in names[:limit]:
+        img = cv2.imread(os.path.join(dirpath, name))
+        if img is not None:
+            sizes.add(img.shape[:2])
+        if len(sizes) > 1:
+            break
+    return sizes
+
+
+def load_predictor(model_path: str, weights: str, fp32: bool, opts,
+                   auto_bucket: bool = False):
     from densepose_tpu.config import CfgNode, get_cfg
     from densepose_tpu.predictor import DensePosePredictor
+
+    def _maybe_auto_bucket(cfg):
+        """Mixed-size directory: default-enable input-geometry bucketing
+        (TPU.GEOMETRY_BUCKET_QUANT) so the run compiles a handful of padded
+        buckets instead of one multi-minute graph per distinct input size.
+        Explicit --opts / --no-bucket and incompatible modes win."""
+        if not auto_bucket:
+            return
+        if opts and "TPU.GEOMETRY_BUCKET_QUANT" in opts:
+            return  # the user decided
+        if (cfg.TPU.GEOMETRY_BUCKET_QUANT or cfg.TPU.BUCKETED_DENSEPOSE
+                or cfg.TEST.AUG.ENABLED):
+            return  # already on, or a mode that manages its own geometry
+        # 64 is a multiple of every backbone's size divisibility (FPN 32,
+        # HRFPN 64) and bounded the detection envelope at 1.34 px in the
+        # bucketing tests
+        cfg.TPU.GEOMETRY_BUCKET_QUANT = 64
+        print("note: mixed-size directory — enabling input-geometry "
+              "bucketing (TPU.GEOMETRY_BUCKET_QUANT 64); pass --no-bucket "
+              "or --opts TPU.GEOMETRY_BUCKET_QUANT 0 for one exact graph "
+              "per size", file=sys.stderr)
 
     cfg = get_cfg()
     if model_path.endswith(".npz"):
@@ -36,6 +76,7 @@ def load_predictor(model_path: str, weights: str, fp32: bool, opts):
             cfg.TPU.COMPUTE_DTYPE = "float32"
         if opts:
             cfg.merge_from_list(opts)
+        _maybe_auto_bucket(cfg)
         cfg.freeze()
         pred = DensePosePredictor(cfg, weights_path=model_path)
     elif not os.path.exists(model_path) and not model_path.endswith((".yaml", ".yml")):
@@ -48,6 +89,7 @@ def load_predictor(model_path: str, weights: str, fp32: bool, opts):
             cfg.TPU.COMPUTE_DTYPE = "float32"
         if opts:
             cfg.merge_from_list(opts)
+        _maybe_auto_bucket(cfg)
         cfg.freeze()
         if not weights:
             try:
@@ -60,6 +102,7 @@ def load_predictor(model_path: str, weights: str, fp32: bool, opts):
         cfg.merge_from_file(model_path)
         if opts:
             cfg.merge_from_list(opts)
+        _maybe_auto_bucket(cfg)
         cfg.freeze()
         pred = DensePosePredictor(cfg, weights_path=weights or None)
     if cfg.TEST.AUG.ENABLED:
@@ -87,6 +130,11 @@ def main():
                         choices=["fine_segm", "u", "v", "bbox"],
                         help="Overlay: fine-segm labels (the reference's), "
                              "U/V channels, or scored boxes")
+    parser.add_argument("--no-bucket", action="store_true",
+                        help="Disable the automatic input-geometry bucketing "
+                             "that mixed-size image directories enable by "
+                             "default (one exact graph per input size "
+                             "instead — each compile takes minutes on TPU)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -105,7 +153,13 @@ def main():
     from densepose_tpu.visualizer import End2EndVisualizer
 
     visualizer = End2EndVisualizer(alpha=0.7, keep_bg=False, mode=args.vis)
-    predictor = load_predictor(args.model, args.weights, args.fp32, args.opts)
+    # a directory of mixed-size photos would otherwise compile one graph per
+    # distinct input size (minutes each on TPU) — probe the sizes and
+    # default-enable geometry bucketing when they vary (VERDICT r4 #5)
+    auto_bucket = (not args.no_bucket and os.path.isdir(args.input)
+                   and len(_scan_dir_sizes(args.input)) > 1)
+    predictor = load_predictor(args.model, args.weights, args.fp32, args.opts,
+                               auto_bucket=auto_bucket)
 
     profile_ctx = None
     if args.profile:
