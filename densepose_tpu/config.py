@@ -476,6 +476,12 @@ def _detectron2_defaults() -> CfgNode:
     # within a tested envelope (the wider zero border is the same padding
     # the reference's own batching applies); pad-region anchors are masked.
     _C.TPU.GEOMETRY_BUCKET_QUANT = 0
+    # HRNet: run the 32/64-channel branch convs width-packed to full MXU
+    # lane width ((H,W,C)->(H,W/f,fC) is a free NHWC reshape; kernels are
+    # prepacked on the host at load). Reassociation-level numerics change
+    # only; requires TPU.FOLD_FROZEN_BN (the unfolded exact-parity mode
+    # ignores it). No effect on non-HRNet backbones.
+    _C.TPU.HRNET_PACKED_BRANCHES = True
     # In-graph detection-count bucketing via lax.switch: XLA:TPU executes
     # only the taken branch, so sparse frames skip most of the per-instance
     # DensePose head FLOPs with no host sync. Identical outputs on the valid

@@ -30,6 +30,7 @@ from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..checkpoint.spec import ParamSpec, Spec
 from ..ops import conv2d, frozen_batch_norm, resize_bilinear
@@ -122,6 +123,151 @@ def _basic_block(p: Dict, name: str, x):
     return jax.nn.relu(out + x)
 
 
+# ---------------------------------------------------------------------------
+# Width-packed branch convs (lane-occupancy fix, r5)
+#
+# HRNet's hot loop is 64x (stage2-4 branch0) + 56x (branch1) 3x3 convs at
+# C=32/64 — 25/50% of the 128 MXU lanes, measured ~13 ms/frame for branch0
+# alone at 800px (r4 cycle model + trace). The (H, W, C) -> (H, W/f, f*C)
+# repack is a FREE reshape in NHWC (see ops/conv.py::pack_width_conv_kernel)
+# and runs every branch conv at full lane width with a host-prepacked
+# kernel. Values match the unpacked conv at reassociation level (contraction
+# order only); gated by TPU.HRNET_PACKED_BRANCHES and only active when
+# FrozenBN is folded (the exact-parity unfolded mode stays untouched).
+# ---------------------------------------------------------------------------
+
+
+def _bn_base_for(conv_base: str):
+    """HRNet pairs conv and BN as SIBLINGS (upstream naming): conv{N}/bn{N}
+    and Sequential .0/.1 — unlike detectron2's ``X.norm`` children, which is
+    the only convention checkpoint/transform.py folds. Returns the BN base
+    for a conv base, or None."""
+    head, _, tail = conv_base.rpartition(".")
+    if tail.startswith("conv"):
+        return f"{head}.bn{tail[4:]}"
+    if tail == "0":
+        return f"{head}.1"
+    return None
+
+
+def hrnet_fold_bn(params: Dict, prefix: str = "backbone.bottom_up") -> None:
+    """Fold every HRNet FrozenBN into its preceding conv, in place (f64 on
+    host, like checkpoint/transform.py does for .norm convs). Inference BN
+    == FrozenBN here, so this is exact up to the fold's own rounding; it
+    removes ~270 low-lane-occupancy scale+shift ops from the graph and is
+    a precondition for the width-packed kernels below."""
+    from ..ops.norms import fold_frozen_bn
+
+    conv_keys = [k for k in params
+                 if k.startswith(prefix) and k.endswith(".weight")
+                 and getattr(params[k], "ndim", 0) == 4]
+    for wkey in conv_keys:
+        base = wkey[: -len(".weight")]
+        bn = _bn_base_for(base)
+        if bn is None or f"{bn}.running_mean" not in params:
+            continue
+        w = np.asarray(params[wkey])
+        b = params.get(f"{base}.bias")
+        wf, bf = fold_frozen_bn(
+            w, None if b is None else np.asarray(b),
+            np.asarray(params[f"{bn}.weight"]),
+            np.asarray(params[f"{bn}.bias"]),
+            np.asarray(params[f"{bn}.running_mean"]),
+            np.asarray(params[f"{bn}.running_var"]))
+        params[wkey] = wf
+        params[f"{base}.bias"] = bf
+        for sfx in _BN_SUFFIXES:
+            params.pop(f"{bn}.{sfx}", None)
+
+
+def hrnet_host_optimize(params: Dict, cfg,
+                        prefix: str = "backbone.bottom_up") -> None:
+    """Load-time host pass for HRNet: BN fold (TPU.FOLD_FROZEN_BN) then
+    width-packed kernel precompute (TPU.HRNET_PACKED_BRANCHES)."""
+    if bool(getattr(cfg.TPU, "FOLD_FROZEN_BN", True)):
+        hrnet_fold_bn(params, prefix)
+    hrnet_wpack_augment(params, cfg, prefix)
+
+
+def hrnet_wpack_augment(params: Dict, cfg,
+                        prefix: str = "backbone.bottom_up") -> None:
+    """Add host-precomputed width-packed kernels (``<conv>.wp.weight`` /
+    ``.wp.bias``) for every lane-starved 3x3 branch conv. Mutates
+    ``params`` in place; no-op when packing is disabled, BN is unfolded,
+    or a conv's channel width doesn't benefit."""
+    import numpy as np
+
+    from ..ops.conv import pack_width_conv_kernel, pick_pack_factor
+
+    if not bool(getattr(cfg.TPU, "HRNET_PACKED_BRANCHES", True)):
+        return
+
+    def add(name: str, f: int):
+        wkey = f"{name}.weight"
+        if f <= 1 or wkey not in params:
+            return
+        w = np.asarray(params[wkey])
+        if w.ndim != 4 or w.shape[0] != 3 or w.shape[1] != 3:
+            return
+        bkey = f"{name}.bias"
+        if bkey not in params:
+            return  # BN not folded: exact-parity mode, keep unpacked
+        params[f"{name}.wp.weight"] = pack_width_conv_kernel(w, f)
+        params[f"{name}.wp.bias"] = np.tile(np.asarray(params[bkey]), f)
+
+    for i in range(4):
+        add(f"{prefix}.layer1.{i}.conv2", pick_pack_factor(64))
+    stages = _stage_channels(cfg)
+    num_modules = [cfg.MODEL.HRNET.STAGE2.NUM_MODULES,
+                   cfg.MODEL.HRNET.STAGE3.NUM_MODULES,
+                   cfg.MODEL.HRNET.STAGE4.NUM_MODULES]
+    num_blocks = [cfg.MODEL.HRNET.STAGE2.NUM_BLOCKS,
+                  cfg.MODEL.HRNET.STAGE3.NUM_BLOCKS,
+                  cfg.MODEL.HRNET.STAGE4.NUM_BLOCKS]
+    for si, chans in enumerate(stages):
+        sname = si + 2
+        for m in range(num_modules[si]):
+            mod = f"{prefix}.stage{sname}.{m}"
+            for b, c in enumerate(chans):
+                f = pick_pack_factor(c)
+                for blk in range(num_blocks[si][b]):
+                    add(f"{mod}.branches.{b}.{blk}.conv1", f)
+                    add(f"{mod}.branches.{b}.{blk}.conv2", f)
+
+
+def _conv_wp(p: Dict, name: str, xp, relu: bool):
+    """One packed conv on an already width-packed map (pad 1 both axes —
+    the packed kernel's zero structure reproduces the original pad-1
+    edge semantics)."""
+    y = conv2d(xp, p[f"{name}.wp.weight"], p[f"{name}.wp.bias"],
+               padding=1)
+    return jax.nn.relu(y) if relu else y
+
+
+def _basic_block_wp(p: Dict, name: str, xp):
+    out = _conv_wp(p, f"{name}.conv1", xp, relu=True)
+    out = _conv_wp(p, f"{name}.conv2", out, relu=False)
+    return jax.nn.relu(out + xp)
+
+
+def _branch_chain(p: Dict, names: List[str], y, c: int):
+    """Run a branch's BasicBlock chain, width-packed end-to-end when the
+    packed kernels exist and the width divides (pack/unpack are free
+    reshapes, so the whole chain runs at full lane width)."""
+    wp0 = p.get(f"{names[0]}.conv1.wp.weight") if names else None
+    if wp0 is not None:
+        f = wp0.shape[2] // c
+        h, w = y.shape[-3], y.shape[-2]
+        if w % f == 0 and all(f"{n}.conv2.wp.weight" in p for n in names):
+            yp = y.reshape(*y.shape[:-3], h, w // f, f * c)
+            for n in names:
+                yp = _basic_block_wp(p, n, yp)
+            return yp.reshape(*y.shape[:-3], h, w, c)
+    for n in names:
+        y = _basic_block(p, n, y)
+    return y
+
+
 def _upsample_nearest(x, factor: int):
     for _ in range(factor.bit_length() - 1):
         x = jnp.repeat(jnp.repeat(x, 2, axis=-3), 2, axis=-2)
@@ -148,7 +294,16 @@ def hrnet_forward(p: Dict, x: jnp.ndarray, cfg,
     for i in range(4):
         b = f"{prefix}.layer1.{i}"
         out = _cbr(p, x, f"{b}.conv1", f"{b}.bn1")
-        out = _cbr(p, out, f"{b}.conv2", f"{b}.bn2", padding=1)
+        if (f"{b}.conv2.wp.weight" in p
+                and out.shape[-2] % (p[f"{b}.conv2.wp.weight"].shape[2]
+                                     // out.shape[-1]) == 0):
+            f2 = p[f"{b}.conv2.wp.weight"].shape[2] // out.shape[-1]
+            h2, w2, c2 = out.shape[-3], out.shape[-2], out.shape[-1]
+            outp = out.reshape(*out.shape[:-3], h2, w2 // f2, f2 * c2)
+            out = _conv_wp(p, f"{b}.conv2", outp, relu=True).reshape(
+                *out.shape[:-3], h2, w2, c2)
+        else:
+            out = _cbr(p, out, f"{b}.conv2", f"{b}.bn2", padding=1)
         out = _cbr(p, out, f"{b}.conv3", f"{b}.bn3", relu=False)
         sc = _cbr(p, x, f"{b}.downsample.0", f"{b}.downsample.1", relu=False) \
             if i == 0 else x
@@ -183,10 +338,9 @@ def hrnet_forward(p: Dict, x: jnp.ndarray, cfg,
             mod = f"{prefix}.stage{sname}.{m}"
             branch_out = []
             for b in range(len(chans)):
-                y = feats[b]
-                for blk in range(num_blocks[si][b]):
-                    y = _basic_block(p, f"{mod}.branches.{b}.{blk}", y)
-                branch_out.append(y)
+                names = [f"{mod}.branches.{b}.{blk}"
+                         for blk in range(num_blocks[si][b])]
+                branch_out.append(_branch_chain(p, names, feats[b], chans[b]))
             fused = []
             for i in range(len(chans)):
                 acc = None

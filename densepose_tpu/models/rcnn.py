@@ -81,6 +81,19 @@ class GeneralizedRCNN:
         self.min_size = cfg.INPUT.MIN_SIZE_TEST
         self.max_size = cfg.INPUT.MAX_SIZE_TEST
 
+    def augment_params_host(self, params) -> None:
+        """Host-side derived-parameter pass, run once after load (before
+        dtype cast / device_put): adds precomputed alternates the forward
+        prefers when present. Currently: HRNet width-packed branch-conv
+        kernels (models/hrnet.py::hrnet_wpack_augment). Mutates in place;
+        no-op for other backbones."""
+        import os
+        if os.environ.get("DENSEPOSE_HRNET_NO_HOST_OPT"):
+            return  # A/B escape hatch: measure the un-optimized graph
+        if self.cfg.MODEL.BACKBONE.NAME == "build_hrfpn_backbone":
+            from .hrnet import hrnet_host_optimize
+            hrnet_host_optimize(params, self.cfg)
+
     # -- spec ---------------------------------------------------------------
     def spec(self) -> Spec:
         bb_spec, _, _ = backbone_fns(self.cfg)

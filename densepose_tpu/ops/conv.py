@@ -450,3 +450,60 @@ def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> j
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
+
+
+def pack_width_conv_kernel(w, f: int):
+    """Width-packed equivalent of a 3-wide, pad-1 HWIO conv kernel.
+
+    NHWC memory is row-major with W before C, so the lane repack
+    (H, W, C) -> (H, W/f, f*C) is a FREE reshape (identical flat layout:
+    packed channel t*C+c <-> original column f*J+t). A 3x3 stride-1 pad-1
+    conv on the original map then equals a 3x3 stride-1 pad-(ph,1) conv on
+    the packed map with this (kh, 3, f*C, f*Cout) kernel: output subcolumn
+    u at packed tap DX and input slot t carries the original tap dx where
+    u + dx - 1 = DX*f + t. Zero entries land exactly where the original
+    conv's pad-1 border would read columns the packed pad doesn't supply,
+    so edge semantics match bit-for-bit in structure (values differ only
+    by contraction order — reassociation level).
+
+    Why: HRNet's 32/64-channel branch convs occupy 25-50% of the 128 MXU
+    lanes; packing fills the lanes. Cycle model (kw*C folded into the MXU
+    contraction): C=32,f=4: 2.25*HW vs 3*HW block-positions; C=64,f=2:
+    4.5*HW vs 6*HW — >=25% fewer, more if the real limiter is lane
+    occupancy of the surrounding elementwise ops. Host-side (numpy), run
+    once at load.
+    """
+    import numpy as np
+
+    kh, kw, cin, cout = w.shape
+    assert kw == 3, "width packing is derived for 3-wide pad-1 kernels"
+    wp = np.zeros((kh, 3, f * cin, f * cout), w.dtype)
+    for u in range(f):
+        for dx in range(kw):
+            e = u + dx - 1
+            dxp = e // f  # floor: -1, 0, or 1 for any f >= 2
+            t = e - dxp * f
+            wp[:, dxp + 1, t * cin:(t + 1) * cin,
+               u * cout:(u + 1) * cout] = w[:, dx]
+    return wp
+
+
+def wpack_cost(c: int, f: int) -> float:
+    """MXU block-position cost per original output position of a 3x3 conv
+    at channel width c, width-packed by f (1 = unpacked), under the
+    kw*C-folded contraction model."""
+    import math
+
+    return 3.0 * math.ceil(3 * f * c / 128) * math.ceil(f * c / 128) / f
+
+
+def pick_pack_factor(c: int) -> int:
+    """Smallest-cost width-pack factor for a 3x3 conv at channel width c;
+    ties break toward fuller lanes (f*c <= 128). 1 means don't pack."""
+    best_f, best_cost = 1, wpack_cost(c, 1)
+    for f in (2, 4):
+        cost = wpack_cost(c, f)
+        if cost < best_cost - 1e-9 or (cost < best_cost + 1e-9
+                                       and c < 128 and f * c <= 128):
+            best_f, best_cost = f, cost
+    return best_f

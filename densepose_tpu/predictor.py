@@ -83,6 +83,9 @@ class DensePosePredictor:
         self.compute_dtype = _DTYPES[cfg.TPU.COMPUTE_DTYPE]
         if params is None:
             params = load_params(cfg, weights_path, seed=seed, model=self.model)
+        else:
+            params = dict(params)  # augmentation must not leak into callers
+        self.model.augment_params_host(params)
         if self.compute_dtype != jnp.float32:
             params = {k: self._cast_param(k, v) for k, v in params.items()}
         self.params = jax.device_put(

@@ -78,7 +78,8 @@ def _timed_passes(step, params, frames, zero, passes):
 
 
 def bench_variant(name: str, iters: int = 48, passes: int = 3,
-                  mode: str = "exact", sparse: bool = False) -> dict:
+                  mode: str = "exact", sparse: bool = False,
+                  extra_opts=None) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -92,6 +93,8 @@ def bench_variant(name: str, iters: int = 48, passes: int = 3,
         "MODEL.ROI_HEADS.SCORE_THRESH_TEST", "0.3",
         "TPU.COMPUTE_DTYPE", "bfloat16",
     ])
+    if extra_opts:
+        cfg.merge_from_list(list(extra_opts))
     if mode in ("serving", "max") and cfg.MODEL.DENSEPOSE_ON:
         cfg.TPU.INT8_HEAD = True
     if (mode == "max"
@@ -121,7 +124,11 @@ def bench_variant(name: str, iters: int = 48, passes: int = 3,
 
     times = _timed_passes(step, pred.params, frames, zero, passes)
     best = min(times)
-    r = {"fps": iters / best, "ms": best / iters * 1e3,
+    # which lax.switch branch did the timed graph take? (the r4 HRNet rows
+    # silently measured the sparse path because NaN scores zeroed all
+    # detections — report the count so a "worst case" row proves itself)
+    n_det = int(pred.predict_numpy(warm)["num_instances"])
+    r = {"fps": iters / best, "ms": best / iters * 1e3, "det": n_det,
          "passes_s": [round(t, 3) for t in times]}
 
     if sparse:
@@ -156,6 +163,11 @@ def main():
         mode = args[1]
         assert mode in ("exact", "serving", "max"), mode
         args = args[2:]
+    extra_opts = []
+    if "--opts" in args:  # everything after --opts is config overrides
+        i = args.index("--opts")
+        extra_opts = args[i + 1:]
+        args = args[:i]
     variants = args or DEFAULT_VARIANTS
     print(f"mode={mode} iters=48 (bench.py protocol, absolute figures)")
     hdr = f"{'variant':45s} {'fps':>7s} {'ms/frame':>9s}"
@@ -164,8 +176,10 @@ def main():
     print(hdr)
     for name in variants:
         try:
-            r = bench_variant(name, mode=mode, sparse=sparse)
-            line = f"{name:45s} {r['fps']:7.2f} {r['ms']:9.1f}"
+            r = bench_variant(name, mode=mode, sparse=sparse,
+                              extra_opts=extra_opts)
+            line = (f"{name:45s} {r['fps']:7.2f} {r['ms']:9.1f}"
+                    f"   det={r['det']}")
             if sparse:
                 if "sparse_fps" in r:
                     line += f" {r['sparse_fps']:10.2f}"

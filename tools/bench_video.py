@@ -14,11 +14,27 @@ run.py's streaming pipeline (parallel/pipeline.py) and reports:
   bench.py: distinct frames, completion forced by fetching outputs).
 
     python tools/bench_video.py [video.mp4] [--mode exact|serving]
-                                [--frames N] [--vis fine_segm]
+                                [--frames N] [--vis fine_segm] [--colocated]
 
 Without a video argument a synthetic 720p clip with moving blobs is
 generated (decode cost is real — it is a real H.264/mp4v stream).
 Prints one JSON line.
+
+--colocated (r5, VERDICT r4 #4): ONE measured run of the combined system
+as a co-located host would see it — frames pre-staged in HBM (the
+dev-tunnel upload cost, ~138 ms/720p frame at ~20 MB/s, is the harness
+tax, reported separately as ``link_upload_ms``), all forwards dispatched
+device-paced, while the SAME run's host thread concurrently drains
+outputs (fetch -> overlay -> encode) and a reader thread re-decodes the
+clip to reproduce the real pipeline's decode load. ``colocated_fps`` is
+the sustained wall-clock rate of that window — a measurement, not a
+projection composed from two runs.
+
+The in-run device probe uses bench.py's carry-chained checksum protocol
+(one scalar fetch per pass), so it agrees with bench.py's device figure
+even on a degraded link (the r4 probe read 65.75 ms vs the true 23.7 ms
+because its 16 per-dispatch fetches each paid a link RTT);
+``link_degraded`` flags an unusually slow upload path explicitly.
 """
 
 import json
@@ -60,12 +76,15 @@ def main():
     vis_mode = "fine_segm"
     video = None
     cpu = False
+    colocated = False
     size = (1280, 720)
     extra_opts = []
     i = 0
     while i < len(args):
         a = args[i]
-        if a == "--mode":
+        if a == "--colocated":
+            colocated = True; i += 1
+        elif a == "--mode":
             mode = args[i + 1]; i += 2
         elif a == "--frames":
             n_frames = int(args[i + 1]); i += 2
@@ -138,28 +157,45 @@ def main():
     host_outputs = [pred.numpy_outputs(o) for o in host_outputs]  # fetch all
     predict_s = (time.perf_counter() - t0) / k
 
-    # ---- pure device forward (bench.py protocol: pre-staged frames, one
-    # aggregated checksum fetch) — separates chip time from link time ----
+    # ---- pure device forward (bench.py protocol: pre-staged frames,
+    # carry-chained checksum, ONE scalar fetch per pass) — link-free even
+    # when the tunnel is degraded (VERDICT r4 #6) ----
     import jax
     import jax.numpy as jnp
     fn = pred._get_fn(frames[0].shape[:2])
 
     @jax.jit
-    def step(p, img):
+    def step(p, img, carry):
         out = fn(p, img)
-        tot = jnp.float32(0)
+        tot = carry
         for key in sorted(out):
             tot += jnp.sum(out[key].astype(jnp.float32))
         return tot
 
+    # upload probe: the dev-harness link tax per 720p frame (colocated PCIe
+    # would be sub-ms); median of 3 to ride out jitter
+    up = []
+    for f in frames[:3]:
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(np.ascontiguousarray(f)))
+        up.append(time.perf_counter() - t0)
+    link_upload_ms = sorted(up)[1] * 1e3
+    frame_mb = frames[0].nbytes / 1e6
+    link_mbps = frame_mb / (link_upload_ms / 1e3)
+    link_degraded = link_mbps < 8.0  # healthy dev tunnel ~20 MB/s
+
     staged = [jax.device_put(f) for f in frames[:16]]
+    zero = jax.device_put(np.float32(0))
     jax.block_until_ready(staged)
-    _ = np.asarray(step(pred.params, staged[0]))
+    jax.block_until_ready(zero)
+    _ = np.asarray(step(pred.params, staged[0], zero))
     dev_passes = []
     for _ in range(3):
         t0 = time.perf_counter()
-        sums = [step(pred.params, f) for f in staged]
-        _ = np.asarray(jnp.sum(jnp.stack(sums)))
+        tot = zero
+        for f in staged:
+            tot = step(pred.params, f, tot)
+        _ = np.asarray(tot)
         dev_passes.append(time.perf_counter() - t0)
     device_ms = min(dev_passes) / len(staged) * 1e3
 
@@ -187,6 +223,46 @@ def main():
     wall_s = time.perf_counter() - t0
     wall_fps = n / wall_s if wall_s > 0 else 0.0
 
+    # ---- colocated-equivalent combined-system measurement (one run) ----
+    colocated_fps = None
+    colocated_window = 0
+    if colocated:
+        import threading
+
+        kc = min(n, 144)
+        staged_all = [jax.device_put(f) for f in frames[:kc]]  # untimed:
+        jax.block_until_ready(staged_all)  # the link tax, reported above
+        fetch = getattr(visualizer, "fetch_keys", lambda: None)()
+        cw = cv2.VideoWriter("/tmp/bench_clip_coloc.mp4",
+                             cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+
+        def decode_load():  # the real pipeline's reader-thread decode load
+            cap2 = cv2.VideoCapture(video)
+            got = 0
+            while got < kc:
+                ret, _f = cap2.read()
+                if not ret:
+                    break
+                got += 1
+            cap2.release()
+
+        # warm the fetch+overlay path once (outside the clock)
+        o0 = pred(staged_all[0])
+        _ = visualizer.visualize(frames[0].copy(),
+                                 pred.numpy_outputs(o0, keys=fetch))
+        th = threading.Thread(target=decode_load)
+        t0 = time.perf_counter()
+        th.start()
+        outs = [pred(s) for s in staged_all]       # device-paced dispatch
+        for i, o in enumerate(outs):               # host drains concurrently
+            npo = pred.numpy_outputs(o, keys=fetch)
+            cw.write(visualizer.visualize(frames[i].copy(), npo))
+        th.join()
+        coloc_s = time.perf_counter() - t0
+        cw.release()
+        colocated_fps = kc / coloc_s
+        colocated_window = kc
+
     # what a co-located host (PCIe link: sub-ms transfers for these sizes)
     # would sustain with the same overlapped pipeline: the slower of the
     # device forward and the serial host stages
@@ -208,8 +284,16 @@ def main():
         },
         "device_forward_ms": round(device_ms, 2),
         "projected_colocated_fps": round(projected, 2),
+        "link_upload_ms": round(link_upload_ms, 1),
+        "link_mbps": round(link_mbps, 1),
+        "link_degraded": bool(link_degraded),
         "detections_first_frame": int(outs0["num_instances"]),
     }
+    if colocated_fps is not None:
+        # measured (single-run) combined-system rate; supersedes the
+        # two-number projection above
+        result["colocated_fps"] = round(colocated_fps, 2)
+        result["colocated_window_frames"] = colocated_window
     print(json.dumps(result))
 
 
