@@ -250,21 +250,85 @@ def _basic_block_wp(p: Dict, name: str, xp):
     return jax.nn.relu(out + xp)
 
 
-def _branch_chain(p: Dict, names: List[str], y, c: int):
+def _basic_block_int8(p: Dict, name: str, q, s_in, wp: bool):
+    """One BasicBlock as a statically-calibrated s8 chain (max serving
+    mode): conv1 s8xs8->s32 + bias + ReLU + one requant, conv2 to f32,
+    residual dequantized from the same s8 input, f32 add+ReLU. ``wp``:
+    kernels are the width-packed variants (activations already packed)."""
+    from ..ops.conv import conv2d_int8_chain
+
+    k = ".wp" if wp else ""
+    s2 = p[f"{name}.conv2.in_scale"]
+    q1 = conv2d_int8_chain(
+        q, s_in, p[f"{name}.conv1{k}.qweight"], p[f"{name}.conv1{k}.wscale"],
+        p.get(f"{name}.conv1{k}.bias"), padding=1, out_scale=s2)
+    y = conv2d_int8_chain(
+        q1, s2, p[f"{name}.conv2{k}.qweight"], p[f"{name}.conv2{k}.wscale"],
+        p.get(f"{name}.conv2{k}.bias"), padding=1, relu=False,
+        out_scale=None)
+    sc = q.astype(jnp.float32) * s_in
+    return jax.nn.relu(y + sc)
+
+
+def _branch_chain(p: Dict, names: List[str], y, c: int,
+                  calib=None, stat: str = "max"):
     """Run a branch's BasicBlock chain, width-packed end-to-end when the
     packed kernels exist and the width divides (pack/unpack are free
-    reshapes, so the whole chain runs at full lane width)."""
+    reshapes, so the whole chain runs at full lane width). With calibrated
+    int8 scales installed (TPU.INT8_BACKBONE max mode) the chain runs as
+    s8 MXU convs. ``calib``: append per-conv-input activation statistics
+    (hrnet_int8_scale_sites order) instead of quantizing — the fp
+    calibration walk."""
     wp0 = p.get(f"{names[0]}.conv1.wp.weight") if names else None
-    if wp0 is not None:
-        f = wp0.shape[2] // c
-        h, w = y.shape[-3], y.shape[-2]
-        if w % f == 0 and all(f"{n}.conv2.wp.weight" in p for n in names):
-            yp = y.reshape(*y.shape[:-3], h, w // f, f * c)
-            for n in names:
-                yp = _basic_block_wp(p, n, yp)
-            return yp.reshape(*y.shape[:-3], h, w, c)
+    f = wp0.shape[2] // c if wp0 is not None else 1
+    h, w = y.shape[-3], y.shape[-2]
+    packed_ok = (wp0 is not None and w % f == 0
+                 and all(f"{n}.conv2.wp.weight" in p for n in names))
+
+    k = ".wp" if packed_ok else ""
+    int8_ok = (calib is None
+               and f"{names[0]}.conv1.in_scale" in p
+               and f"{names[0]}.conv1{k}.qweight" in p) if names else False
+    if int8_ok:
+        from ..ops.conv import quant_act_s8
+        dtype = y.dtype
+        if packed_ok:
+            y = y.reshape(*y.shape[:-3], h, w // f, f * c)
+        for n in names:
+            s_in = p[f"{n}.conv1.in_scale"]
+            q = quant_act_s8(y, s_in)
+            y = _basic_block_int8(p, n, q, s_in, wp=packed_ok)
+        if packed_ok:
+            y = y.reshape(*y.shape[:-3], h, w, c)
+        return y.astype(dtype)
+
+    if packed_ok and calib is None:
+        yp = y.reshape(*y.shape[:-3], h, w // f, f * c)
+        for n in names:
+            yp = _basic_block_wp(p, n, yp)
+        return yp.reshape(*y.shape[:-3], h, w, c)
+    if packed_ok:
+        # calibration walk on the packed form: max-abs/sat statistics are
+        # layout-invariant (the repack is a reshape of the same values)
+        from ..ops.conv import act_stat
+        yp = y.reshape(*y.shape[:-3], h, w // f, f * c)
+        for n in names:
+            calib.append(act_stat(yp, stat, p, f"{n}.conv1.in_scale"))
+            o = _conv_wp(p, f"{n}.conv1", yp, relu=True)
+            calib.append(act_stat(o, stat, p, f"{n}.conv2.in_scale"))
+            o = _conv_wp(p, f"{n}.conv2", o, relu=False)
+            yp = jax.nn.relu(o + yp)
+        return yp.reshape(*y.shape[:-3], h, w, c)
     for n in names:
-        y = _basic_block(p, n, y)
+        if calib is not None:
+            from ..ops.conv import act_stat
+            calib.append(act_stat(y, stat, p, f"{n}.conv1.in_scale"))
+            o = _cbr(p, y, f"{n}.conv1", f"{n}.bn1", padding=1)
+            calib.append(act_stat(o, stat, p, f"{n}.conv2.in_scale"))
+            o = _cbr(p, o, f"{n}.conv2", f"{n}.bn2", padding=1, relu=False)
+            y = jax.nn.relu(o + y)
+        else:
+            y = _basic_block(p, n, y)
     return y
 
 
@@ -274,10 +338,86 @@ def _upsample_nearest(x, factor: int):
     return x
 
 
+def _conv2_maybe_wp(p: Dict, b: str, out, relu: bool = True):
+    """layer1 conv2 (3x3, 64ch at full 1/4 res): width-packed when the
+    prepacked kernel exists and the width divides."""
+    wp = p.get(f"{b}.conv2.wp.weight")
+    if wp is not None and out.shape[-2] % (wp.shape[2] // out.shape[-1]) == 0:
+        f2 = wp.shape[2] // out.shape[-1]
+        h2, w2, c2 = out.shape[-3], out.shape[-2], out.shape[-1]
+        outp = out.reshape(*out.shape[:-3], h2, w2 // f2, f2 * c2)
+        return _conv_wp(p, f"{b}.conv2", outp, relu=relu).reshape(
+            *out.shape[:-3], h2, w2, c2)
+    return _cbr(p, out, f"{b}.conv2", f"{b}.bn2", padding=1, relu=relu)
+
+
+def _layer1(p: Dict, x, prefix: str, calib=None, stat: str = "max"):
+    """The 4 bottleneck blocks (64->256), with optional calibration
+    recording and a statically-calibrated s8 chain in max serving mode."""
+    from ..ops.conv import act_stat, conv2d_int8_chain, quant_act_s8
+
+    int8_ok = (calib is None
+               and f"{prefix}.layer1.0.conv1.in_scale" in p
+               and f"{prefix}.layer1.0.conv1.qweight" in p)
+    dtype = x.dtype
+    for i in range(4):
+        b = f"{prefix}.layer1.{i}"
+        if int8_ok:
+            s1 = p[f"{b}.conv1.in_scale"]
+            s2 = p[f"{b}.conv2.in_scale"]
+            s3 = p[f"{b}.conv3.in_scale"]
+            q = quant_act_s8(x, s1)
+            q1 = conv2d_int8_chain(
+                q, s1, p[f"{b}.conv1.qweight"], p[f"{b}.conv1.wscale"],
+                p.get(f"{b}.conv1.bias"), out_scale=s2)
+            wp = p.get(f"{b}.conv2.wp.qweight")
+            if wp is not None and q1.shape[-2] % (wp.shape[2]
+                                                  // q1.shape[-1]) == 0:
+                f2 = wp.shape[2] // q1.shape[-1]
+                h2, w2, c2 = q1.shape[-3], q1.shape[-2], q1.shape[-1]
+                q1p = q1.reshape(*q1.shape[:-3], h2, w2 // f2, f2 * c2)
+                q2 = conv2d_int8_chain(
+                    q1p, s2, wp, p[f"{b}.conv2.wp.wscale"],
+                    p.get(f"{b}.conv2.wp.bias"), padding=1, out_scale=s3
+                ).reshape(*q1.shape[:-3], h2, w2, c2)
+            else:
+                q2 = conv2d_int8_chain(
+                    q1, s2, p[f"{b}.conv2.qweight"], p[f"{b}.conv2.wscale"],
+                    p.get(f"{b}.conv2.bias"), padding=1, out_scale=s3)
+            y = conv2d_int8_chain(
+                q2, s3, p[f"{b}.conv3.qweight"], p[f"{b}.conv3.wscale"],
+                p.get(f"{b}.conv3.bias"), relu=False, out_scale=None)
+            if i == 0:
+                sc = conv2d_int8_chain(
+                    q, s1, p[f"{b}.downsample.0.qweight"],
+                    p[f"{b}.downsample.0.wscale"],
+                    p.get(f"{b}.downsample.0.bias"), relu=False,
+                    out_scale=None)
+            else:
+                sc = x.astype(jnp.float32)
+            x = jax.nn.relu(y + sc).astype(dtype)
+            continue
+        if calib is not None:
+            calib.append(act_stat(x, stat, p, f"{b}.conv1.in_scale"))
+        out = _cbr(p, x, f"{b}.conv1", f"{b}.bn1")
+        if calib is not None:
+            calib.append(act_stat(out, stat, p, f"{b}.conv2.in_scale"))
+        out = _conv2_maybe_wp(p, b, out)
+        if calib is not None:
+            calib.append(act_stat(out, stat, p, f"{b}.conv3.in_scale"))
+        out = _cbr(p, out, f"{b}.conv3", f"{b}.bn3", relu=False)
+        sc = _cbr(p, x, f"{b}.downsample.0", f"{b}.downsample.1", relu=False) \
+            if i == 0 else x
+        x = jax.nn.relu(out + sc)
+    return x
+
+
 def hrnet_forward(p: Dict, x: jnp.ndarray, cfg,
-                  prefix: str = "backbone.bottom_up") -> List[jnp.ndarray]:
+                  prefix: str = "backbone.bottom_up",
+                  calib=None, stat: str = "max") -> List[jnp.ndarray]:
     """x: (H, W, 3) normalized. Returns the 4 branch maps
-    [1/4, 1/8, 1/16, 1/32]."""
+    [1/4, 1/8, 1/16, 1/32]. ``calib``: collect int8 calibration statistics
+    (hrnet_int8_scale_sites order) during this fp pass."""
     # first stem conv (3x3/s2 RGB) takes the packed-lane MXU routing — the
     # plain 3-channel conv lowers to a space-to-batch VPU loop (see
     # ops/conv.py::conv_stride2_packed)
@@ -291,23 +431,7 @@ def hrnet_forward(p: Dict, x: jnp.ndarray, cfg,
     x = jax.nn.relu(y)
     x = _cbr(p, x, f"{prefix}.conv2", f"{prefix}.bn2", stride=2, padding=1)
 
-    for i in range(4):
-        b = f"{prefix}.layer1.{i}"
-        out = _cbr(p, x, f"{b}.conv1", f"{b}.bn1")
-        if (f"{b}.conv2.wp.weight" in p
-                and out.shape[-2] % (p[f"{b}.conv2.wp.weight"].shape[2]
-                                     // out.shape[-1]) == 0):
-            f2 = p[f"{b}.conv2.wp.weight"].shape[2] // out.shape[-1]
-            h2, w2, c2 = out.shape[-3], out.shape[-2], out.shape[-1]
-            outp = out.reshape(*out.shape[:-3], h2, w2 // f2, f2 * c2)
-            out = _conv_wp(p, f"{b}.conv2", outp, relu=True).reshape(
-                *out.shape[:-3], h2, w2, c2)
-        else:
-            out = _cbr(p, out, f"{b}.conv2", f"{b}.bn2", padding=1)
-        out = _cbr(p, out, f"{b}.conv3", f"{b}.bn3", relu=False)
-        sc = _cbr(p, x, f"{b}.downsample.0", f"{b}.downsample.1", relu=False) \
-            if i == 0 else x
-        x = jax.nn.relu(out + sc)
+    x = _layer1(p, x, prefix, calib, stat)
 
     stages = _stage_channels(cfg)
     num_modules = [cfg.MODEL.HRNET.STAGE2.NUM_MODULES,
@@ -340,7 +464,8 @@ def hrnet_forward(p: Dict, x: jnp.ndarray, cfg,
             for b in range(len(chans)):
                 names = [f"{mod}.branches.{b}.{blk}"
                          for blk in range(num_blocks[si][b])]
-                branch_out.append(_branch_chain(p, names, feats[b], chans[b]))
+                branch_out.append(_branch_chain(p, names, feats[b], chans[b],
+                                                calib=calib, stat=stat))
             fused = []
             for i in range(len(chans)):
                 acc = None
@@ -389,22 +514,134 @@ def _avg_pool(x, k: int):
 
 
 def hrfpn_forward(p: Dict, x: jnp.ndarray, cfg,
-                  prefix: str = "backbone") -> Dict[str, jnp.ndarray]:
-    """Returns {"p1".."p5"} at strides 4..64."""
-    feats = hrnet_forward(p, x, cfg, prefix=f"{prefix}.bottom_up")
+                  prefix: str = "backbone",
+                  calib=None, stat: str = "max") -> Dict[str, jnp.ndarray]:
+    """Returns {"p1".."p5"} at strides 4..64. In max serving mode the two
+    full-1/4-resolution convs (the 1x1 480->256 reduction and p1's 3x3
+    256->256) run as calibrated s8 chains; the pooled levels p2..p5 are
+    16-256x smaller and stay fp."""
+    from ..ops.conv import act_stat, conv2d_int8_chain, quant_act_s8
+
+    feats = hrnet_forward(p, x, cfg, prefix=f"{prefix}.bottom_up",
+                          calib=calib, stat=stat)
     h, w = feats[0].shape[-3], feats[0].shape[-2]
     ups = [feats[0]]
     for i, f in enumerate(feats[1:], 1):
         ups.append(resize_bilinear(f, (h, w), scale=(float(2 ** i), float(2 ** i))))
     cat = jnp.concatenate(ups, axis=-1)
-    red = conv2d(cat, p[f"{prefix}.reduction_conv.weight"],
-                 p[f"{prefix}.reduction_conv.bias"])
+    if calib is not None:
+        calib.append(act_stat(cat, stat, p, f"{prefix}.reduction_conv.in_scale"))
+    int8_ok = (calib is None
+               and f"{prefix}.reduction_conv.in_scale" in p
+               and f"{prefix}.reduction_conv.qweight" in p)
+    dtype = cat.dtype
+    if int8_ok:
+        s_cat = p[f"{prefix}.reduction_conv.in_scale"]
+        red = conv2d_int8_chain(
+            quant_act_s8(cat, s_cat), s_cat,
+            p[f"{prefix}.reduction_conv.qweight"],
+            p[f"{prefix}.reduction_conv.wscale"],
+            p[f"{prefix}.reduction_conv.bias"], relu=False,
+            out_scale=None, out_dtype=dtype)
+    else:
+        red = conv2d(cat, p[f"{prefix}.reduction_conv.weight"],
+                     p[f"{prefix}.reduction_conv.bias"])
+    if calib is not None:
+        calib.append(act_stat(red, stat, p, f"{prefix}.fpn_conv.0.in_scale"))
     outs = {}
     for i in range(5):
         level = red if i == 0 else _avg_pool(red, 2 ** i)
+        if i == 0 and int8_ok and f"{prefix}.fpn_conv.0.qweight" in p:
+            s_red = p[f"{prefix}.fpn_conv.0.in_scale"]
+            outs["p1"] = conv2d_int8_chain(
+                quant_act_s8(level, s_red), s_red,
+                p[f"{prefix}.fpn_conv.0.qweight"],
+                p[f"{prefix}.fpn_conv.0.wscale"],
+                p[f"{prefix}.fpn_conv.0.bias"], padding=1, relu=False,
+                out_scale=None, out_dtype=dtype)
+            continue
         outs[f"p{i + 1}"] = conv2d(level, p[f"{prefix}.fpn_conv.{i}.weight"],
                                    p[f"{prefix}.fpn_conv.{i}.bias"], padding=1)
     return outs
+
+
+def hrnet_int8_scale_sites(cfg, prefix: str = "backbone.bottom_up",
+                           hrfpn_prefix: str = "backbone") -> List[str]:
+    """Ordered activation-scale names matching the calibration walk's
+    recording order (layer1 per-conv inputs, then every branch BasicBlock's
+    conv1/conv2 inputs in stage/module/branch/block order, then the HRFPN
+    reduction and p1 conv inputs)."""
+    sites = []
+    for i in range(4):
+        b = f"{prefix}.layer1.{i}"
+        sites += [f"{b}.conv1.in_scale", f"{b}.conv2.in_scale",
+                  f"{b}.conv3.in_scale"]
+    stages = _stage_channels(cfg)
+    num_modules = [cfg.MODEL.HRNET.STAGE2.NUM_MODULES,
+                   cfg.MODEL.HRNET.STAGE3.NUM_MODULES,
+                   cfg.MODEL.HRNET.STAGE4.NUM_MODULES]
+    num_blocks = [cfg.MODEL.HRNET.STAGE2.NUM_BLOCKS,
+                  cfg.MODEL.HRNET.STAGE3.NUM_BLOCKS,
+                  cfg.MODEL.HRNET.STAGE4.NUM_BLOCKS]
+    for si, chans in enumerate(stages):
+        sname = si + 2
+        for m in range(num_modules[si]):
+            mod = f"{prefix}.stage{sname}.{m}"
+            for b in range(len(chans)):
+                for blk in range(num_blocks[si][b]):
+                    bb = f"{mod}.branches.{b}.{blk}"
+                    sites += [f"{bb}.conv1.in_scale", f"{bb}.conv2.in_scale"]
+    sites += [f"{hrfpn_prefix}.reduction_conv.in_scale",
+              f"{hrfpn_prefix}.fpn_conv.0.in_scale"]
+    return sites
+
+
+def hrnet_int8_quant_bases(cfg, params,
+                           prefix: str = "backbone.bottom_up",
+                           hrfpn_prefix: str = "backbone") -> List[str]:
+    """Conv bases whose weights get per-channel s8 twins in max mode.
+    Branch convs quantize their width-packed variant when one exists
+    (``<conv>.wp`` — quantizing the packed kernel keeps the chain fully
+    packed); layer1 and HRFPN quantize the plain kernels (plus layer1
+    conv2's packed twin when present)."""
+    bases = []
+    for i in range(4):
+        b = f"{prefix}.layer1.{i}"
+        bases += [f"{b}.conv1", f"{b}.conv3"]
+        bases.append(f"{b}.conv2.wp" if f"{b}.conv2.wp.weight" in params
+                     else f"{b}.conv2")
+        if i == 0:
+            bases.append(f"{b}.downsample.0")
+    stages = _stage_channels(cfg)
+    num_modules = [cfg.MODEL.HRNET.STAGE2.NUM_MODULES,
+                   cfg.MODEL.HRNET.STAGE3.NUM_MODULES,
+                   cfg.MODEL.HRNET.STAGE4.NUM_MODULES]
+    num_blocks = [cfg.MODEL.HRNET.STAGE2.NUM_BLOCKS,
+                  cfg.MODEL.HRNET.STAGE3.NUM_BLOCKS,
+                  cfg.MODEL.HRNET.STAGE4.NUM_BLOCKS]
+    for si, chans in enumerate(stages):
+        sname = si + 2
+        for m in range(num_modules[si]):
+            mod = f"{prefix}.stage{sname}.{m}"
+            for b in range(len(chans)):
+                for blk in range(num_blocks[si][b]):
+                    bb = f"{mod}.branches.{b}.{blk}"
+                    sfx = (".wp" if f"{bb}.conv1.wp.weight" in params
+                           else "")
+                    bases += [f"{bb}.conv1{sfx}", f"{bb}.conv2{sfx}"]
+    bases += [f"{hrfpn_prefix}.reduction_conv", f"{hrfpn_prefix}.fpn_conv.0"]
+    return bases
+
+
+def hrnet_int8_calibration(p: Dict, x: jnp.ndarray, cfg,
+                           prefix: str = "backbone",
+                           stat: str = "max") -> jnp.ndarray:
+    """fp HRFPN pass recording every quantization site's activation
+    statistic, in ``hrnet_int8_scale_sites`` order. ``x``: preprocessed
+    network input."""
+    calib: List = []
+    hrfpn_forward(p, x, cfg, prefix=prefix, calib=calib, stat=stat)
+    return jnp.stack(calib)
 
 
 def hrfpn_out_strides(cfg) -> Dict[str, int]:

@@ -364,6 +364,12 @@ class GeneralizedRCNN:
             h0, w0 = image_u8.shape[0], image_u8.shape[1]
             x, _, _ = self.preprocess(image_u8, (h0, w0), compute_dtype)
             out["fpn"] = fpn_int8_calibration(params, x, cfg, stat=stat)
+        if (getattr(cfg.TPU, "INT8_BACKBONE", False)
+                and cfg.MODEL.BACKBONE.NAME == "build_hrfpn_backbone"):
+            from .hrnet import hrnet_int8_calibration
+            h0, w0 = image_u8.shape[0], image_u8.shape[1]
+            x, _, _ = self.preprocess(image_u8, (h0, w0), compute_dtype)
+            out["hrnet"] = hrnet_int8_calibration(params, x, cfg, stat=stat)
         return out
 
     def forward_densepose_switched(self, params: Dict, features: Dict,

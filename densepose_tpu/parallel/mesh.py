@@ -72,6 +72,13 @@ def spatial_parallel_forward(model, mesh: Mesh, axis: str = "space",
     Use when a single frame is too large or too slow for one chip; for
     throughput over many frames prefer data_parallel_forward (no collectives
     at all). The input height must be divisible by the axis size.
+
+    PERF CAVEAT: correctness is tested (8-device virtual mesh invariance,
+    tests/test_multichip.py) but halo-exchange cost and the crossover point
+    vs single-chip are UNCHARACTERIZED — this harness has one physical
+    chip, so no ICI measurement is possible. Treat the partitioning as
+    functional, not as performance-validated; profile on a real multi-chip
+    slice before relying on it for latency.
     """
     import jax.numpy as jnp
 

@@ -119,7 +119,8 @@ class DensePosePredictor:
                                       # depth gate; only the bottleneck path
                                       # requires depth >= 50)
                                       or cfg.MODEL.BACKBONE.NAME
-                                      == "build_resnet_fpn_backbone"))
+                                      in ("build_resnet_fpn_backbone",
+                                          "build_hrfpn_backbone")))
                              or (bool(getattr(cfg.TPU, "INT8_RPN", False))
                                  and cfg.MODEL.BACKBONE.NAME
                                  == "build_resnet_fpn_backbone"))
@@ -214,6 +215,15 @@ class DensePosePredictor:
             pat = re.compile(re.escape(prefix)
                              + r"\.res[2-5]\.\d+\.(conv[123]|shortcut)\.weight$")
             quant_bases += [k[:-len(".weight")] for k in params if pat.match(k)]
+        if "hrnet" in mx:
+            from .models.hrnet import (hrnet_int8_quant_bases,
+                                       hrnet_int8_scale_sites)
+            sites = hrnet_int8_scale_sites(self.cfg)
+            assert len(mx["hrnet"]) == len(sites), (
+                len(mx["hrnet"]), len(sites))
+            for name, m in zip(sites, mx["hrnet"]):
+                params[name] = np.float32(max(float(m) / 127.0, 1e-8))
+            quant_bases += hrnet_int8_quant_bases(self.cfg, params)
         if "fpn" in mx:
             from .models.fpn import fpn_int8_scale_sites
             fpn_sites, rpn_sites = fpn_int8_scale_sites(self.cfg)
@@ -249,6 +259,9 @@ class DensePosePredictor:
             from .models.fpn import fpn_int8_scale_sites
             fpn_sites, rpn_sites = fpn_int8_scale_sites(cfg)
             names = fpn_sites + rpn_sites
+        elif group == "hrnet":
+            from .models.hrnet import hrnet_int8_scale_sites
+            names = hrnet_int8_scale_sites(cfg)
         else:
             raise KeyError(group)
         assert len(names) == count, (group, len(names), count)
@@ -336,6 +349,12 @@ class DensePosePredictor:
                 bases += [s[:-len(".in_scale")] for s in fpn_sites]
             if rpn_sites and all(s in params for s in rpn_sites):
                 bases.append("proposal_generator.rpn_head.conv")
+        if self.cfg.MODEL.BACKBONE.NAME == "build_hrfpn_backbone":
+            from .models.hrnet import (hrnet_int8_quant_bases,
+                                       hrnet_int8_scale_sites)
+            sites = hrnet_int8_scale_sites(self.cfg)
+            if sites and all(s in params for s in sites):
+                bases += hrnet_int8_quant_bases(self.cfg, params)
         return bases
 
     def export_calibration(self) -> Dict[str, float]:
@@ -449,6 +468,10 @@ class DensePosePredictor:
                 and cfg.MODEL.BACKBONE.NAME == "build_resnet_fpn_backbone"):
             from .models.fpn import fpn_int8_scale_sites
             required += fpn_int8_scale_sites(cfg)[1]
+        if (getattr(cfg.TPU, "INT8_BACKBONE", False)
+                and cfg.MODEL.BACKBONE.NAME == "build_hrfpn_backbone"):
+            from .models.hrnet import hrnet_int8_scale_sites
+            required += hrnet_int8_scale_sites(cfg)
         return required
 
     def _check_calibration_complete(self, params: Dict) -> None:

@@ -153,3 +153,73 @@ def test_disabled_by_config():
     hrnet_host_optimize(aug, cfg)
     # BN still folds (that part is exact), but nothing packs
     assert not any(k.endswith(".wp.weight") for k in aug)
+
+
+def test_branch_chain_int8_envelope():
+    """The s8 branch chain (max mode) tracks the fp chain within the usual
+    post-training-int8 envelope on realistic-scale activations."""
+    from densepose_tpu.models.hrnet import _branch_chain
+    from densepose_tpu.ops.conv import quantize_weight_int8
+
+    c, f, h, w = 32, 4, 16, 32
+    p = {}
+    names = ["m.0", "m.1"]
+    for n in names:
+        for cv in ("conv1", "conv2"):
+            ker = (RNG.randn(3, 3, c, c) * 0.1).astype(np.float32)
+            b = (RNG.randn(c) * 0.05).astype(np.float32)
+            p[f"{n}.{cv}.weight"] = jnp.asarray(ker)
+            p[f"{n}.{cv}.bias"] = jnp.asarray(b)
+            p[f"{n}.{cv}.wp.weight"] = jnp.asarray(pack_width_conv_kernel(ker, f))
+            p[f"{n}.{cv}.wp.bias"] = jnp.asarray(np.tile(b, f))
+    x = jnp.asarray(RNG.randn(h, w, c).astype(np.float32))
+    want = np.asarray(_branch_chain(p, names, x, c))
+
+    # calibrate: record per-conv input maxes with the walk, install scales,
+    # quantize the packed kernels
+    calib = []
+    _branch_chain(p, names, x, c, calib=calib)
+    assert len(calib) == 4  # conv1+conv2 per block
+    it = iter([float(v) for v in calib])
+    for n in names:
+        p[f"{n}.conv1.in_scale"] = np.float32(max(next(it) / 127.0, 1e-8))
+        p[f"{n}.conv2.in_scale"] = np.float32(max(next(it) / 127.0, 1e-8))
+        for cv in ("conv1", "conv2"):
+            qw, sw = quantize_weight_int8(p[f"{n}.{cv}.wp.weight"])
+            p[f"{n}.{cv}.wp.qweight"] = qw
+            p[f"{n}.{cv}.wp.wscale"] = sw
+    got = np.asarray(_branch_chain(p, names, x, c))
+    scale = max(np.abs(want).max(), 1e-6)
+    rel = np.abs(got - want).max() / scale
+    assert np.isfinite(got).all()
+    assert rel < 0.05, rel  # the int8 step envelope, not reassociation noise
+
+
+def test_hrnet_max_mode_predictor_end_to_end():
+    """TPU.INT8_BACKBONE on HRNet: calibration installs every site, the
+    packed branch convs quantize their packed kernels, and the pipeline
+    produces finite outputs."""
+    from densepose_tpu.predictor import DensePosePredictor
+
+    cfg = model_zoo.get_config("densepose_rcnn_HRFPN_HRNet_w32_s1x").clone()
+    cfg.defrost()
+    cfg.merge_from_list(["INPUT.MIN_SIZE_TEST", "64",
+                         "INPUT.MAX_SIZE_TEST", "128",
+                         "MODEL.RPN.POST_NMS_TOPK_TEST", "50",
+                         "TEST.DETECTIONS_PER_IMAGE", "5",
+                         "TPU.INT8_BACKBONE", "True"])
+    cfg.freeze()
+    pred = DensePosePredictor(cfg, seed=0)
+    img = (RNG.rand(96, 128, 3) * 255).astype(np.uint8)
+    pred.calibrate_int8([img])
+
+    from densepose_tpu.models.hrnet import hrnet_int8_scale_sites
+    for s in hrnet_int8_scale_sites(cfg):
+        assert s in pred.params, s
+    assert ("backbone.bottom_up.stage2.0.branches.0.0.conv1.wp.qweight"
+            in pred.params)
+    assert "backbone.reduction_conv.qweight" in pred.params
+
+    out = pred.predict_numpy((RNG.rand(96, 128, 3) * 255).astype(np.uint8))
+    assert np.isfinite(out["pred_boxes"]).all()
+    assert np.isfinite(out["scores"]).all()

@@ -101,6 +101,11 @@ def bench_variant(name: str, iters: int = 48, passes: int = 3,
             and cfg.MODEL.BACKBONE.NAME == "build_resnet_fpn_backbone"):
         cfg.TPU.INT8_BACKBONE = True
         cfg.TPU.INT8_RPN = True
+    if (mode == "max"
+            and cfg.MODEL.BACKBONE.NAME == "build_hrfpn_backbone"):
+        # r5: HRNet branch/layer1/HRFPN s8 chains (no RPN int8 — those
+        # sites are resnet-FPN-specific)
+        cfg.TPU.INT8_BACKBONE = True
     cfg.freeze()
     pred = DensePosePredictor(cfg, seed=0)
     if pred._int8_needed and not pred._int8_ready:
