@@ -223,3 +223,34 @@ def test_hrnet_max_mode_predictor_end_to_end():
     out = pred.predict_numpy((RNG.rand(96, 128, 3) * 255).astype(np.uint8))
     assert np.isfinite(out["pred_boxes"]).all()
     assert np.isfinite(out["scores"]).all()
+
+
+def test_hrnet_calibration_sidecar_roundtrip(tmp_path):
+    """save_calibration -> fresh predictor -> load_calibration reproduces
+    the max-mode params for HRNet (same machinery the resnet path pins in
+    test_int8; here covering the hrnet group's sites + wp quant bases)."""
+    from densepose_tpu.predictor import DensePosePredictor
+
+    cfg = model_zoo.get_config("densepose_rcnn_HRFPN_HRNet_w32_s1x").clone()
+    cfg.defrost()
+    cfg.merge_from_list(["INPUT.MIN_SIZE_TEST", "64",
+                         "INPUT.MAX_SIZE_TEST", "128",
+                         "MODEL.RPN.POST_NMS_TOPK_TEST", "50",
+                         "TEST.DETECTIONS_PER_IMAGE", "5",
+                         "TPU.INT8_BACKBONE", "True"])
+    cfg.freeze()
+    pred = DensePosePredictor(cfg, seed=0)
+    img = (RNG.rand(96, 128, 3) * 255).astype(np.uint8)
+    pred.calibrate_int8([img])
+    path = str(tmp_path / "hrnet.calib.json")
+    pred.save_calibration(path)
+
+    pred2 = DensePosePredictor(cfg, seed=0)
+    pred2.load_calibration(path)
+    from densepose_tpu.models.hrnet import hrnet_int8_scale_sites
+    for s in hrnet_int8_scale_sites(cfg):
+        np.testing.assert_allclose(np.asarray(pred2.params[s]),
+                                   np.asarray(pred.params[s]))
+    k = "backbone.bottom_up.stage2.0.branches.0.0.conv1.wp.qweight"
+    np.testing.assert_array_equal(np.asarray(pred2.params[k]),
+                                  np.asarray(pred.params[k]))
