@@ -270,6 +270,24 @@ def _basic_block_int8(p: Dict, name: str, q, s_in, wp: bool):
     return jax.nn.relu(y + sc)
 
 
+def _chain_packed(p: Dict, names: List[str], yp):
+    """BasicBlock chain with packed input AND output (the cross-module
+    branch0 carry): fp packed blocks, or the s8 chain when calibrated
+    packed qweights are installed."""
+    if (f"{names[0]}.conv1.in_scale" in p
+            and f"{names[0]}.conv1.wp.qweight" in p):
+        from ..ops.conv import quant_act_s8
+        dtype = yp.dtype
+        for n in names:
+            s_in = p[f"{n}.conv1.in_scale"]
+            q = quant_act_s8(yp, s_in)
+            yp = _basic_block_int8(p, n, q, s_in, wp=True)
+        return yp.astype(dtype)
+    for n in names:
+        yp = _basic_block_wp(p, n, yp)
+    return yp
+
+
 def _branch_chain(p: Dict, names: List[str], y, c: int,
                   calib=None, stat: str = "max"):
     """Run a branch's BasicBlock chain, width-packed end-to-end when the
@@ -458,16 +476,55 @@ def hrnet_forward(p: Dict, x: jnp.ndarray, cfg,
                                       stride=2, padding=1))
         feats = new_feats
 
+        # branch0 cross-module packing: carrying the branch in its packed
+        # logical shape THROUGH the fusion stage (contributions are
+        # free-reshaped into the packed view) removes the per-module
+        # pack/unpack relayout copies the r5 profile showed (~1.4 ms of
+        # [192,336,32] copies). Only the stage's last unpack materializes.
+        c0 = chans[0]
+        h0, w0_ = feats[0].shape[-3], feats[0].shape[-2]
+        f0 = 1
+        if calib is None and num_modules[si] > 0:
+            first = f"{prefix}.stage{sname}.0.branches.0.0"
+            wp0 = p.get(f"{first}.conv1.wp.weight")
+            if wp0 is not None and w0_ % (wp0.shape[2] // c0) == 0:
+                f0 = wp0.shape[2] // c0
+        p0 = (feats[0].reshape(*feats[0].shape[:-3], h0, w0_ // f0, f0 * c0)
+              if f0 > 1 else None)
+
         for m in range(num_modules[si]):
             mod = f"{prefix}.stage{sname}.{m}"
             branch_out = []
+            b0p = None
             for b in range(len(chans)):
                 names = [f"{mod}.branches.{b}.{blk}"
                          for blk in range(num_blocks[si][b])]
-                branch_out.append(_branch_chain(p, names, feats[b], chans[b],
-                                                calib=calib, stat=stat))
+                if b == 0 and f0 > 1 and all(
+                        f"{n}.conv2.wp.weight" in p for n in names):
+                    b0p = _chain_packed(p, names, p0)
+                    branch_out.append(b0p.reshape(*b0p.shape[:-3],
+                                                  h0, w0_, c0))
+                else:
+                    branch_out.append(_branch_chain(p, names, feats[b],
+                                                    chans[b], calib=calib,
+                                                    stat=stat))
             fused = []
             for i in range(len(chans)):
+                if i == 0 and b0p is not None:
+                    # accumulate in the packed view: the upsampled
+                    # contributions free-reshape into it, so the packed
+                    # form flows module to module with no relayout
+                    acc_p = b0p
+                    for j in range(1, len(chans)):
+                        f = f"{mod}.fuse_layers.{i}.{j}"
+                        y = _cbr(p, branch_out[j], f"{f}.0", f"{f}.1",
+                                 relu=False)
+                        y = _upsample_nearest(y, 2 ** j)
+                        acc_p = acc_p + y.reshape(*y.shape[:-3], h0,
+                                                  w0_ // f0, f0 * c0)
+                    p0 = jax.nn.relu(acc_p)
+                    fused.append(p0.reshape(*p0.shape[:-3], h0, w0_, c0))
+                    continue
                 acc = None
                 for j in range(len(chans)):
                     f = f"{mod}.fuse_layers.{i}.{j}"
@@ -484,6 +541,11 @@ def hrnet_forward(p: Dict, x: jnp.ndarray, cfg,
                                      stride=2, padding=1, relu=not last)
                     acc = y if acc is None else acc + y
                 fused.append(jax.nn.relu(acc))
+            if f0 > 1 and b0p is None:
+                # a module fell back to the generic path: refresh the
+                # packed carry from its unpacked fusion output
+                p0 = fused[0].reshape(*fused[0].shape[:-3], h0,
+                                      w0_ // f0, f0 * c0)
             feats = fused
         prev_chans = chans
     return feats
