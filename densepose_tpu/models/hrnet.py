@@ -476,54 +476,73 @@ def hrnet_forward(p: Dict, x: jnp.ndarray, cfg,
                                       stride=2, padding=1))
         feats = new_feats
 
-        # branch0 cross-module packing: carrying the branch in its packed
-        # logical shape THROUGH the fusion stage (contributions are
-        # free-reshaped into the packed view) removes the per-module
-        # pack/unpack relayout copies the r5 profile showed (~1.4 ms of
-        # [192,336,32] copies). Only the stage's last unpack materializes.
-        c0 = chans[0]
-        h0, w0_ = feats[0].shape[-3], feats[0].shape[-2]
-        f0 = 1
+        # Cross-module packing for the lane-starved branches (C=32/64):
+        # each such branch is carried in its packed logical shape THROUGH
+        # the fusion stage — every fusion contribution to it lives at the
+        # branch's own (H, W, C) and free-reshapes into the packed view, so
+        # the per-module pack/unpack relayout copies the r5 profile showed
+        # (~1.4 ms of [192,336,32] copies) never materialize; only the
+        # stage's last unpack does.
+        dims = {b: (chans[b], feats[b].shape[-3], feats[b].shape[-2])
+                for b in range(len(chans))}
+        packf = {}
         if calib is None and num_modules[si] > 0:
-            first = f"{prefix}.stage{sname}.0.branches.0.0"
-            wp0 = p.get(f"{first}.conv1.wp.weight")
-            if wp0 is not None and w0_ % (wp0.shape[2] // c0) == 0:
-                f0 = wp0.shape[2] // c0
-        p0 = (feats[0].reshape(*feats[0].shape[:-3], h0, w0_ // f0, f0 * c0)
-              if f0 > 1 else None)
+            for b in range(len(chans)):
+                first = f"{prefix}.stage{sname}.0.branches.{b}.0"
+                wpb = p.get(f"{first}.conv1.wp.weight")
+                if wpb is not None:
+                    fb = wpb.shape[2] // chans[b]
+                    if dims[b][2] % fb == 0:
+                        packf[b] = fb
+
+        def to_packed(b, y):
+            c, h, w = dims[b]
+            fb = packf[b]
+            return y.reshape(*y.shape[:-3], h, w // fb, fb * c)
+
+        def to_unpacked(b, yp):
+            c, h, w = dims[b]
+            return yp.reshape(*yp.shape[:-3], h, w, c)
+
+        carry = {b: to_packed(b, feats[b]) for b in packf}
 
         for m in range(num_modules[si]):
             mod = f"{prefix}.stage{sname}.{m}"
             branch_out = []
-            b0p = None
+            chain_p = {}
             for b in range(len(chans)):
                 names = [f"{mod}.branches.{b}.{blk}"
                          for blk in range(num_blocks[si][b])]
-                if b == 0 and f0 > 1 and all(
+                if b in packf and all(
                         f"{n}.conv2.wp.weight" in p for n in names):
-                    b0p = _chain_packed(p, names, p0)
-                    branch_out.append(b0p.reshape(*b0p.shape[:-3],
-                                                  h0, w0_, c0))
+                    chain_p[b] = _chain_packed(p, names, carry[b])
+                    branch_out.append(to_unpacked(b, chain_p[b]))
                 else:
                     branch_out.append(_branch_chain(p, names, feats[b],
                                                     chans[b], calib=calib,
                                                     stat=stat))
             fused = []
             for i in range(len(chans)):
-                if i == 0 and b0p is not None:
-                    # accumulate in the packed view: the upsampled
-                    # contributions free-reshape into it, so the packed
-                    # form flows module to module with no relayout
-                    acc_p = b0p
-                    for j in range(1, len(chans)):
+                if i in chain_p:
+                    # accumulate in the packed view
+                    acc_p = chain_p[i]
+                    for j in range(len(chans)):
+                        if j == i:
+                            continue
                         f = f"{mod}.fuse_layers.{i}.{j}"
-                        y = _cbr(p, branch_out[j], f"{f}.0", f"{f}.1",
-                                 relu=False)
-                        y = _upsample_nearest(y, 2 ** j)
-                        acc_p = acc_p + y.reshape(*y.shape[:-3], h0,
-                                                  w0_ // f0, f0 * c0)
-                    p0 = jax.nn.relu(acc_p)
-                    fused.append(p0.reshape(*p0.shape[:-3], h0, w0_, c0))
+                        if j > i:
+                            y = _cbr(p, branch_out[j], f"{f}.0", f"{f}.1",
+                                     relu=False)
+                            y = _upsample_nearest(y, 2 ** (j - i))
+                        else:
+                            y = branch_out[j]
+                            for k in range(i - j):
+                                last = k == i - j - 1
+                                y = _cbr(p, y, f"{f}.{k}.0", f"{f}.{k}.1",
+                                         stride=2, padding=1, relu=not last)
+                        acc_p = acc_p + to_packed(i, y)
+                    carry[i] = jax.nn.relu(acc_p)
+                    fused.append(to_unpacked(i, carry[i]))
                     continue
                 acc = None
                 for j in range(len(chans)):
@@ -541,11 +560,11 @@ def hrnet_forward(p: Dict, x: jnp.ndarray, cfg,
                                      stride=2, padding=1, relu=not last)
                     acc = y if acc is None else acc + y
                 fused.append(jax.nn.relu(acc))
-            if f0 > 1 and b0p is None:
-                # a module fell back to the generic path: refresh the
-                # packed carry from its unpacked fusion output
-                p0 = fused[0].reshape(*fused[0].shape[:-3], h0,
-                                      w0_ // f0, f0 * c0)
+            for b in packf:
+                if b not in chain_p:
+                    # a module fell back to the generic path: refresh the
+                    # packed carry from its unpacked fusion output
+                    carry[b] = to_packed(b, fused[b])
             feats = fused
         prev_chans = chans
     return feats
