@@ -270,24 +270,6 @@ def _basic_block_int8(p: Dict, name: str, q, s_in, wp: bool):
     return jax.nn.relu(y + sc)
 
 
-def _chain_packed(p: Dict, names: List[str], yp):
-    """BasicBlock chain with packed input AND output (the cross-module
-    branch0 carry): fp packed blocks, or the s8 chain when calibrated
-    packed qweights are installed."""
-    if (f"{names[0]}.conv1.in_scale" in p
-            and f"{names[0]}.conv1.wp.qweight" in p):
-        from ..ops.conv import quant_act_s8
-        dtype = yp.dtype
-        for n in names:
-            s_in = p[f"{n}.conv1.in_scale"]
-            q = quant_act_s8(yp, s_in)
-            yp = _basic_block_int8(p, n, q, s_in, wp=True)
-        return yp.astype(dtype)
-    for n in names:
-        yp = _basic_block_wp(p, n, yp)
-    return yp
-
-
 def _branch_chain(p: Dict, names: List[str], y, c: int,
                   calib=None, stat: str = "max"):
     """Run a branch's BasicBlock chain, width-packed end-to-end when the
@@ -476,74 +458,16 @@ def hrnet_forward(p: Dict, x: jnp.ndarray, cfg,
                                       stride=2, padding=1))
         feats = new_feats
 
-        # Cross-module packing for the lane-starved branches (C=32/64):
-        # each such branch is carried in its packed logical shape THROUGH
-        # the fusion stage — every fusion contribution to it lives at the
-        # branch's own (H, W, C) and free-reshapes into the packed view, so
-        # the per-module pack/unpack relayout copies the r5 profile showed
-        # (~1.4 ms of [192,336,32] copies) never materialize; only the
-        # stage's last unpack does.
-        dims = {b: (chans[b], feats[b].shape[-3], feats[b].shape[-2])
-                for b in range(len(chans))}
-        packf = {}
-        if calib is None and num_modules[si] > 0:
-            for b in range(len(chans)):
-                first = f"{prefix}.stage{sname}.0.branches.{b}.0"
-                wpb = p.get(f"{first}.conv1.wp.weight")
-                if wpb is not None:
-                    fb = wpb.shape[2] // chans[b]
-                    if dims[b][2] % fb == 0:
-                        packf[b] = fb
-
-        def to_packed(b, y):
-            c, h, w = dims[b]
-            fb = packf[b]
-            return y.reshape(*y.shape[:-3], h, w // fb, fb * c)
-
-        def to_unpacked(b, yp):
-            c, h, w = dims[b]
-            return yp.reshape(*yp.shape[:-3], h, w, c)
-
-        carry = {b: to_packed(b, feats[b]) for b in packf}
-
         for m in range(num_modules[si]):
             mod = f"{prefix}.stage{sname}.{m}"
             branch_out = []
-            chain_p = {}
             for b in range(len(chans)):
                 names = [f"{mod}.branches.{b}.{blk}"
                          for blk in range(num_blocks[si][b])]
-                if b in packf and all(
-                        f"{n}.conv2.wp.weight" in p for n in names):
-                    chain_p[b] = _chain_packed(p, names, carry[b])
-                    branch_out.append(to_unpacked(b, chain_p[b]))
-                else:
-                    branch_out.append(_branch_chain(p, names, feats[b],
-                                                    chans[b], calib=calib,
-                                                    stat=stat))
+                branch_out.append(_branch_chain(p, names, feats[b], chans[b],
+                                                calib=calib, stat=stat))
             fused = []
             for i in range(len(chans)):
-                if i in chain_p:
-                    # accumulate in the packed view
-                    acc_p = chain_p[i]
-                    for j in range(len(chans)):
-                        if j == i:
-                            continue
-                        f = f"{mod}.fuse_layers.{i}.{j}"
-                        if j > i:
-                            y = _cbr(p, branch_out[j], f"{f}.0", f"{f}.1",
-                                     relu=False)
-                            y = _upsample_nearest(y, 2 ** (j - i))
-                        else:
-                            y = branch_out[j]
-                            for k in range(i - j):
-                                last = k == i - j - 1
-                                y = _cbr(p, y, f"{f}.{k}.0", f"{f}.{k}.1",
-                                         stride=2, padding=1, relu=not last)
-                        acc_p = acc_p + to_packed(i, y)
-                    carry[i] = jax.nn.relu(acc_p)
-                    fused.append(to_unpacked(i, carry[i]))
-                    continue
                 acc = None
                 for j in range(len(chans)):
                     f = f"{mod}.fuse_layers.{i}.{j}"
@@ -560,11 +484,6 @@ def hrnet_forward(p: Dict, x: jnp.ndarray, cfg,
                                      stride=2, padding=1, relu=not last)
                     acc = y if acc is None else acc + y
                 fused.append(jax.nn.relu(acc))
-            for b in packf:
-                if b not in chain_p:
-                    # a module fell back to the generic path: refresh the
-                    # packed carry from its unpacked fusion output
-                    carry[b] = to_packed(b, fused[b])
             feats = fused
         prev_chans = chans
     return feats
