@@ -253,7 +253,15 @@ def main():
         th = threading.Thread(target=decode_load)
         t0 = time.perf_counter()
         th.start()
-        outs = [pred(s) for s in staged_all]       # device-paced dispatch
+        outs = []
+        for s in staged_all:                       # device-paced dispatch
+            o = pred(s)
+            # start the D2H copies immediately (what the real pipeline does
+            # at dispatch time) so the drain loop below never pays a
+            # per-frame link round-trip on the critical path — a colocated
+            # PCIe host wouldn't either
+            pred.start_fetch(o, keys=fetch)
+            outs.append(o)
         for i, o in enumerate(outs):               # host drains concurrently
             npo = pred.numpy_outputs(o, keys=fetch)
             cw.write(visualizer.visualize(frames[i].copy(), npo))
