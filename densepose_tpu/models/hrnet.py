@@ -189,17 +189,37 @@ def hrnet_host_optimize(params: Dict, cfg,
     hrnet_wpack_augment(params, cfg, prefix)
 
 
+def _wpack_enabled(cfg) -> bool:
+    """Width packing pays ONLY where lanes are the constraint (TPU MXU/VPU
+    128-lane tiles). On CPU/GPU the packed conv just does f x the MACs —
+    measured ~4x slower HRNet CPU tests — so the predictor packs on TPU
+    backends only. DENSEPOSE_HRNET_FORCE_WPACK=1 overrides (the CPU parity
+    tests exercise the packed path at tiny sizes)."""
+    import os
+
+    if not bool(getattr(cfg.TPU, "HRNET_PACKED_BRANCHES", True)):
+        return False
+    if os.environ.get("DENSEPOSE_HRNET_FORCE_WPACK"):
+        return True
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return True
+
+
 def hrnet_wpack_augment(params: Dict, cfg,
                         prefix: str = "backbone.bottom_up") -> None:
     """Add host-precomputed width-packed kernels (``<conv>.wp.weight`` /
     ``.wp.bias``) for every lane-starved 3x3 branch conv. Mutates
-    ``params`` in place; no-op when packing is disabled, BN is unfolded,
-    or a conv's channel width doesn't benefit."""
+    ``params`` in place; no-op when packing is disabled (or the backend
+    has no lane constraint — see ``_wpack_enabled``), BN is unfolded, or a
+    conv's channel width doesn't benefit."""
     import numpy as np
 
     from ..ops.conv import pack_width_conv_kernel, pick_pack_factor
 
-    if not bool(getattr(cfg.TPU, "HRNET_PACKED_BRANCHES", True)):
+    if not _wpack_enabled(cfg):
         return
 
     def add(name: str, f: int):

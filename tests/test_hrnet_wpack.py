@@ -13,8 +13,15 @@ identical (contraction order aside). Proven here:
 4. the exact-parity unfolded-BN mode never packs.
 """
 
+import os
+
 import numpy as np
 import pytest
+
+# the predictor packs on TPU backends only (CPU has no lane
+# constraint and would just pay f x the MACs); these parity tests
+# exercise the packed path explicitly at tiny sizes
+os.environ["DENSEPOSE_HRNET_FORCE_WPACK"] = "1"
 
 import jax
 import jax.numpy as jnp
