@@ -287,6 +287,7 @@ def main():
         "mode": mode,
         "exact_mode_fps": round(fps_exact, 2),
         "serving_mode_fps": round(fps_srv, 2),
+        "sparse_fps": round(fps_sparse, 2),
         **({"max_serving_fps": round(fps_max, 2)} if fps_max else {}),
         # per-pass wall times so consumers can see the spread behind the
         # best-of-N headline (remote passes jitter by multiple ms)
