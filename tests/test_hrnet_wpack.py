@@ -18,10 +18,18 @@ import os
 import numpy as np
 import pytest
 
-# the predictor packs on TPU backends only (CPU has no lane
-# constraint and would just pay f x the MACs); these parity tests
-# exercise the packed path explicitly at tiny sizes
-os.environ["DENSEPOSE_HRNET_FORCE_WPACK"] = "1"
+
+# the predictor packs on TPU backends only (CPU has no lane constraint
+# and would just pay f x the MACs); these parity tests exercise the
+# packed path explicitly at tiny sizes. Scoped to this module so a
+# single-process `pytest tests/` run doesn't leak the override into
+# later HRNet tests (which would then run the CPU-slow packed path).
+def setup_module(_m):
+    os.environ["DENSEPOSE_HRNET_FORCE_WPACK"] = "1"
+
+
+def teardown_module(_m):
+    os.environ.pop("DENSEPOSE_HRNET_FORCE_WPACK", None)
 
 import jax
 import jax.numpy as jnp
